@@ -1,0 +1,165 @@
+"""Mini 1-D U-Net generator — flax.linen, channels-last, MXU-lowered convs.
+
+Behavioral parity target: reference models/generator.py:83-233
+(MiniGenerator). Same architecture contract (proof/verification.py:60-66):
+
+    Input [B, L, 2] -> Enc1 (2->4, k3, s2) -> Bottleneck (4->8, k3, s2)
+    -> NN-upsample x2 -> Dec1 (8->4, k3, s1) -> +skip(Enc1)
+    -> NN-upsample x2 -> OutConv (4->2, k3, s1) -> tanh -> [B, L, 2]
+
+LeakyReLU(0.2) after every conv except the tanh output; additive skip;
+Xavier-uniform weights, zero biases; 258 parameters, 1728 MACs per 16-sample
+frame. This implementation uses channels-last [B, L, C] (TPU layout) and, by
+default, lowers each micro-conv to one structured dense matmul
+(ops/dense_conv.py) so the whole forward rides the MXU; ``use_matmul=False``
+selects lax's native convolution (identical numerics, used for
+cross-checking).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List
+
+import flax.linen as nn
+import jax.numpy as jnp
+from jax.nn import leaky_relu
+
+from ..ops.dense_conv import conv1d_via_matmul, upsample_nearest_2x
+
+_XAVIER = nn.initializers.xavier_uniform()
+_ZEROS = nn.initializers.zeros_init()
+
+
+class ConvBlock(nn.Module):
+    """Conv1d + LeakyReLU (reference models/generator.py:37-80)."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    padding: int = 1
+    leaky_slope: float = 0.2
+    use_matmul: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        y = conv1d(
+            self,
+            x,
+            self.features,
+            self.kernel,
+            self.stride,
+            self.padding,
+            self.use_matmul,
+        )
+        return leaky_relu(y, negative_slope=self.leaky_slope)
+
+
+def conv1d(
+    module: nn.Module,
+    x: jnp.ndarray,
+    features: int,
+    kernel: int,
+    stride: int,
+    padding: int,
+    use_matmul: bool,
+    name: str = "conv",
+) -> jnp.ndarray:
+    """Parameter-compatible conv1d with two lowerings.
+
+    Parameters are always stored in flax's native ``[K, C_in, C_out]``
+    kernel layout so checkpoints are lowering-agnostic.
+    """
+    if use_matmul:
+        w = module.param(f"{name}_kernel", _XAVIER, (kernel, x.shape[-1], features))
+        b = module.param(f"{name}_bias", _ZEROS, (features,))
+        return conv1d_via_matmul(x, w, b, stride, padding)
+    return nn.Conv(
+        features=features,
+        kernel_size=(kernel,),
+        strides=(stride,),
+        padding=((padding, padding),),
+        kernel_init=_XAVIER,
+        bias_init=_ZEROS,
+        name=name,
+    )(x)
+
+
+class MiniGenerator(nn.Module):
+    """2 -> 4 -> 8 -> 4 -> 2 channel mini U-Net over ``frame_length`` samples.
+
+    ``frame_length`` must be divisible by 4 (two stride-2 encoders). The
+    channel widths are parameterized so the same module family covers the
+    scaled designs (rtl/ofdmGAN/README.md:196-206 scaling table).
+    """
+
+    input_channels: int = 2
+    output_channels: int = 2
+    frame_length: int = 16
+    enc1_channels: int = 4
+    bottleneck_channels: int = 8
+    dec1_channels: int = 4
+    leaky_slope: float = 0.2
+    use_matmul: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        """``x``: noisy I/Q frames ``[B, L, C_in]`` -> enhanced ``[B, L, C_out]``."""
+        mk = dict(leaky_slope=self.leaky_slope, use_matmul=self.use_matmul)
+        enc1 = ConvBlock(self.enc1_channels, stride=2, name="enc1", **mk)(x)
+        bneck = ConvBlock(self.bottleneck_channels, stride=2, name="bottleneck", **mk)(enc1)
+        up1 = upsample_nearest_2x(bneck)
+        dec1 = ConvBlock(self.dec1_channels, stride=1, name="dec1", **mk)(up1)
+        skip = dec1 + enc1
+        up2 = upsample_nearest_2x(skip)
+        out = conv1d(
+            self, up2, self.output_channels, 3, 1, 1, self.use_matmul, name="out_conv"
+        )
+        return jnp.tanh(out)
+
+    def layer_info(self) -> List[Dict[str, Any]]:
+        """Layer table for docs/diagrams (reference models/generator.py:210-221)."""
+        l = self.frame_length
+        return [
+            {"name": "enc1", "in_ch": self.input_channels, "out_ch": self.enc1_channels, "stride": 2, "length": l // 2},
+            {"name": "bottleneck", "in_ch": self.enc1_channels, "out_ch": self.bottleneck_channels, "stride": 2, "length": l // 4},
+            {"name": "upsample1", "scale": 2, "length": l // 2},
+            {"name": "dec1", "in_ch": self.bottleneck_channels, "out_ch": self.dec1_channels, "stride": 1, "length": l // 2},
+            {"name": "skip_add", "channels": self.dec1_channels, "length": l // 2},
+            {"name": "upsample2", "scale": 2, "length": l},
+            {"name": "out_conv", "in_ch": self.dec1_channels, "out_ch": self.output_channels, "stride": 1, "length": l},
+            {"name": "tanh", "length": l},
+        ]
+
+    def estimate_macs(self) -> int:
+        """MACs per frame (reference models/generator.py:227-233)."""
+        l = self.frame_length
+        return (
+            3 * self.input_channels * self.enc1_channels * (l // 2)
+            + 3 * self.enc1_channels * self.bottleneck_channels * (l // 4)
+            + 3 * self.bottleneck_channels * self.dec1_channels * (l // 2)
+            + 3 * self.dec1_channels * self.output_channels * l
+        )
+
+
+# Alias kept for API parity with the reference (models/generator.py:237).
+UNetGenerator = MiniGenerator
+
+
+def create_generator(config: dict | None = None) -> MiniGenerator:
+    """Factory mirroring reference models/generator.py:240-250."""
+    config = config or {}
+    return MiniGenerator(
+        input_channels=config.get("input_channels", 2),
+        output_channels=config.get("output_channels", 2),
+        frame_length=config.get("frame_length", 16),
+        enc1_channels=config.get("enc1_channels", 4),
+        bottleneck_channels=config.get("bottleneck_channels", 8),
+        dec1_channels=config.get("dec1_channels", 4),
+        leaky_slope=config.get("leaky_slope", 0.2),
+    )
+
+
+def count_parameters(params) -> int:
+    import jax
+
+    return sum(p.size for p in jax.tree_util.tree_leaves(params))
