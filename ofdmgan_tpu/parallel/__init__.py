@@ -1,0 +1,6 @@
+from .mesh import (  # noqa: F401
+    fold_device_key,
+    make_mesh,
+    make_sharded_train_step,
+    replicate_state,
+)

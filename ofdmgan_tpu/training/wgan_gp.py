@@ -1,0 +1,222 @@
+"""Fully-fused CWGAN-GP training step: on-device datagen + n-critic + generator.
+
+Behavioral parity target: reference train.py:201-368 (CWGANGPTrainer.
+train_discriminator / train_generator / train_epoch):
+
+  per outer step:
+    batch = synthetic datagen                       <- fused on device here
+    repeat n_critic times (same batch, like the reference train.py:331-334):
+      fake   = G(noisy)          (stop-gradient)
+      L_D    = E[D(fake,c)] - E[D(real,c)] + λ_gp·GP(real, fake, c)
+      adam update on D
+    L_G = -E[D(G(noisy),c)] + λ_rec·L1(G(noisy), clean)
+    adam update on G
+
+Everything — the OFDM datagen, the critic scan, the nested-grad gradient
+penalty and both optimizer updates — lives inside ONE jitted computation, so
+XLA fuses the whole step and no data ever touches the host. ``scan_steps``
+lets callers run many outer steps per dispatch (lax.scan over steps) to
+amortize launch overhead at small batch sizes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..models.critic import compute_gradient_penalty
+from ..signal.datagen import DatagenConfig, synthetic_batch
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    """WGAN-GP loss hyperparameters (reference config/config.yaml:75-82)."""
+
+    n_critic: int = 5
+    gp_weight: float = 10.0
+    adv_weight: float = 1.0
+    rec_weight: float = 100.0
+    fresh_critic_batches: bool = False  # reference reuses one batch per outer step
+
+
+class TrainState(struct.PyTreeNode):
+    params_g: Any
+    params_d: Any
+    opt_g: Any
+    opt_d: Any
+    step: jnp.ndarray  # int32 scalar
+
+    @classmethod
+    def create(cls, params_g, params_d, tx_g, tx_d):
+        return cls(
+            params_g=params_g,
+            params_d=params_d,
+            opt_g=tx_g.init(params_g),
+            opt_d=tx_d.init(params_d),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+
+def critic_loss_fn(
+    params_d,
+    params_g,
+    gen_apply: Callable,
+    critic_apply: Callable,
+    batch,
+    key: jax.Array,
+    cfg: LossConfig,
+):
+    """L_D = E[D(fake)] - E[D(real)] + λ·GP (train.py:219-253)."""
+    noisy, clean = batch["noisy"], batch["clean"]
+    fake = jax.lax.stop_gradient(gen_apply(params_g, noisy))
+    d_real = critic_apply(params_d, clean, noisy)
+    d_fake = critic_apply(params_d, fake, noisy)
+    wasserstein = jnp.mean(d_fake) - jnp.mean(d_real)
+    gp = compute_gradient_penalty(critic_apply, params_d, clean, fake, noisy, key)
+    loss = wasserstein + cfg.gp_weight * gp
+    aux = {
+        "d_loss": loss,
+        "wasserstein_distance": -wasserstein,
+        "gradient_penalty": gp,
+        "d_real_mean": jnp.mean(d_real),
+        "d_fake_mean": jnp.mean(d_fake),
+    }
+    return loss, aux
+
+
+def generator_loss_fn(
+    params_g,
+    params_d,
+    gen_apply: Callable,
+    critic_apply: Callable,
+    batch,
+    cfg: LossConfig,
+):
+    """L_G = -E[D(G(c),c)] + λ_rec·L1 (train.py:281-305)."""
+    noisy, clean = batch["noisy"], batch["clean"]
+    fake = gen_apply(params_g, noisy)
+    adv = -jnp.mean(critic_apply(params_d, fake, noisy))
+    rec = jnp.mean(jnp.abs(fake - clean))
+    loss = cfg.adv_weight * adv + cfg.rec_weight * rec
+    aux = {"g_loss": loss, "adv_loss": adv, "rec_loss": rec}
+    return loss, aux
+
+
+def build_train_step(
+    gen_apply: Callable,
+    critic_apply: Callable,
+    tx_g: optax.GradientTransformation,
+    tx_d: optax.GradientTransformation,
+    dg_cfg: DatagenConfig,
+    loss_cfg: LossConfig,
+    batch_size: int,
+    scan_steps: int = 1,
+    axis_name: str | None = None,
+) -> Callable[[TrainState, jax.Array], Tuple[TrainState, dict]]:
+    """Build the (unjitted) fused outer step ``(state, key) -> (state, metrics)``.
+
+    ``batch_size`` is per replica. When ``axis_name`` is given (shard_map
+    data parallelism, see parallel/mesh.py) gradients and metrics are
+    ``pmean``-reduced across the mesh axis before each optimizer update, so
+    all replicas apply identical updates — the XLA-collective equivalent of
+    a distributed all-reduce data-parallel step (SURVEY.md §2.4/§5.8).
+    """
+
+    def reduce_tree(t):
+        if axis_name is None:
+            return t
+        return jax.lax.pmean(t, axis_name)
+
+    def one_step(state: TrainState, key: jax.Array):
+        k_data, k_crit, k_gen = jax.random.split(key, 3)
+        batch0 = synthetic_batch(k_data, batch_size, dg_cfg)
+
+        def critic_body(carry, k):
+            params_d, opt_d = carry
+            if loss_cfg.fresh_critic_batches:
+                k_b, k_gp = jax.random.split(k)
+                batch = synthetic_batch(k_b, batch_size, dg_cfg)
+            else:
+                batch, k_gp = batch0, k
+            (loss, aux), grads = jax.value_and_grad(critic_loss_fn, has_aux=True)(
+                params_d, state.params_g, gen_apply, critic_apply, batch, k_gp, loss_cfg
+            )
+            grads, aux = reduce_tree((grads, aux))
+            updates, opt_d = tx_d.update(grads, opt_d, params_d)
+            params_d = optax.apply_updates(params_d, updates)
+            return (params_d, opt_d), aux
+
+        (params_d, opt_d), d_auxes = jax.lax.scan(
+            critic_body,
+            (state.params_d, state.opt_d),
+            jax.random.split(k_crit, loss_cfg.n_critic),
+        )
+        # keep the last critic step's metrics, like the reference
+        # (train.py:331-334 overwrites d_losses each inner iteration)
+        d_aux = jax.tree_util.tree_map(lambda x: x[-1], d_auxes)
+
+        (g_loss, g_aux), g_grads = jax.value_and_grad(generator_loss_fn, has_aux=True)(
+            state.params_g, params_d, gen_apply, critic_apply, batch0, loss_cfg
+        )
+        g_grads, g_aux = reduce_tree((g_grads, g_aux))
+        updates, opt_g = tx_g.update(g_grads, state.opt_g, state.params_g)
+        params_g = optax.apply_updates(state.params_g, updates)
+
+        new_state = TrainState(
+            params_g=params_g,
+            params_d=params_d,
+            opt_g=opt_g,
+            opt_d=opt_d,
+            step=state.step + 1,
+        )
+        return new_state, {**d_aux, **g_aux}
+
+    if scan_steps == 1:
+        return one_step
+
+    def step_fn(state: TrainState, key: jax.Array):
+        keys = jax.random.split(key, scan_steps)
+        state, metrics = jax.lax.scan(one_step, state, keys)
+        return state, jax.tree_util.tree_map(lambda x: x[-1], metrics)
+
+    return step_fn
+
+
+def make_train_step(
+    gen_apply: Callable,
+    critic_apply: Callable,
+    tx_g: optax.GradientTransformation,
+    tx_d: optax.GradientTransformation,
+    dg_cfg: DatagenConfig,
+    loss_cfg: LossConfig,
+    batch_size: int,
+    scan_steps: int = 1,
+    donate: bool = True,
+) -> Callable[[TrainState, jax.Array], Tuple[TrainState, dict]]:
+    """Single-device jitted fused train step (see ``build_train_step``)."""
+    step_fn = build_train_step(
+        gen_apply, critic_apply, tx_g, tx_d, dg_cfg, loss_cfg, batch_size, scan_steps
+    )
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(
+    gen_apply: Callable, dg_cfg: DatagenConfig, batch_size: int
+) -> Callable[[Any, jax.Array], dict]:
+    """Validation metrics on a fresh on-device batch (train.py:370-409)."""
+
+    @jax.jit
+    def eval_step(params_g, key):
+        batch = synthetic_batch(key, batch_size, dg_cfg)
+        fake = gen_apply(params_g, batch["noisy"])
+        rec = jnp.mean(jnp.abs(fake - batch["clean"]))
+        mse = jnp.mean((fake - batch["clean"]) ** 2)
+        return {"rec_loss": rec, "mse": mse}
+
+    return eval_step

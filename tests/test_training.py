@@ -1,0 +1,162 @@
+"""Training-step tests: loss semantics, full fused step, learning signal, and
+shard_map data parallelism on the virtual 8-device mesh (the multi-device
+story tested hardware-free, SURVEY.md §4.5)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ofdmgan_tpu.models import MiniGenerator, MiniDiscriminator
+from ofdmgan_tpu.signal import DatagenConfig
+from ofdmgan_tpu.training import (
+    LossConfig,
+    TrainState,
+    make_adam,
+    make_eval_step,
+    make_train_step,
+)
+from ofdmgan_tpu.parallel import make_mesh, make_sharded_train_step, replicate_state
+
+KEY = jax.random.PRNGKey(0)
+
+
+def _setup(batch=32, **loss_kw):
+    gen = MiniGenerator()
+    critic = MiniDiscriminator()
+    x = jnp.zeros((1, 16, 2))
+    params_g = gen.init(KEY, x)
+    params_d = critic.init(KEY, x, x)
+    tx_g = make_adam(1e-4)
+    tx_d = make_adam(1e-4)
+    state = TrainState.create(params_g, params_d, tx_g, tx_d)
+    dg = DatagenConfig.make(frame_length=16, snr_range=(0, 30))
+    loss = LossConfig(**loss_kw)
+    return gen, critic, tx_g, tx_d, state, dg, loss
+
+
+class TestTrainStep:
+    def test_single_step_updates_params_and_metrics(self):
+        gen, critic, tx_g, tx_d, state, dg, loss = _setup()
+        step = make_train_step(gen.apply, critic.apply, tx_g, tx_d, dg, loss, 32, donate=False)
+        new_state, metrics = step(state, KEY)
+        assert int(new_state.step) == 1
+        for k in ("d_loss", "g_loss", "wasserstein_distance", "gradient_penalty",
+                  "rec_loss", "adv_loss", "d_real_mean", "d_fake_mean"):
+            assert k in metrics and np.isfinite(float(metrics[k])), k
+        # params actually moved
+        diff = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.abs(a - b).max()), state.params_g, new_state.params_g
+        )
+        assert max(jax.tree_util.tree_leaves(diff)) > 0
+
+    def test_scan_steps_equivalent_count(self):
+        gen, critic, tx_g, tx_d, state, dg, loss = _setup()
+        step4 = make_train_step(
+            gen.apply, critic.apply, tx_g, tx_d, dg, loss, 16, scan_steps=4, donate=False
+        )
+        new_state, _ = step4(state, KEY)
+        assert int(new_state.step) == 4
+
+    def test_loss_decreases_over_training(self):
+        # ~60 outer steps at batch 256 should clearly reduce L1 vs the start:
+        # the generator at minimum learns to shrink toward the conditional
+        # mean. This is the "ONE model end-to-end" milestone check.
+        gen, critic, tx_g, tx_d, state, dg, loss = _setup()
+        tx_g = make_adam(1e-3)
+        tx_d = make_adam(1e-3)
+        state = TrainState.create(state.params_g, state.params_d, tx_g, tx_d)
+        step = make_train_step(
+            gen.apply, critic.apply, tx_g, tx_d, dg, loss, 256, scan_steps=20, donate=False
+        )
+        ev = make_eval_step(gen.apply, dg, 1024)
+        before = float(ev(state.params_g, jax.random.PRNGKey(99))["rec_loss"])
+        for i in range(10):
+            state, metrics = step(state, jax.random.fold_in(KEY, i))
+        after = float(ev(state.params_g, jax.random.PRNGKey(99))["rec_loss"])
+        assert after < before * 0.8, (before, after)
+
+    def test_fresh_critic_batches_mode(self):
+        gen, critic, tx_g, tx_d, state, dg, loss = _setup(fresh_critic_batches=True)
+        step = make_train_step(gen.apply, critic.apply, tx_g, tx_d, dg, loss, 16, donate=False)
+        new_state, metrics = step(state, KEY)
+        assert np.isfinite(float(metrics["d_loss"]))
+
+    def test_eval_step(self):
+        gen, critic, tx_g, tx_d, state, dg, loss = _setup()
+        ev = make_eval_step(gen.apply, dg, 64)
+        m = ev(state.params_g, KEY)
+        assert np.isfinite(float(m["rec_loss"])) and np.isfinite(float(m["mse"]))
+
+
+class TestShardedTrainStep:
+    def test_dp8_runs_and_matches_semantics(self):
+        assert len(jax.devices()) == 8, "conftest should provide 8 virtual devices"
+        mesh = make_mesh({"dp": 8})
+        gen, critic, tx_g, tx_d, state, dg, loss = _setup()
+        step = make_sharded_train_step(
+            gen.apply, critic.apply, tx_g, tx_d, dg, loss,
+            global_batch_size=64, mesh=mesh, donate=False,
+        )
+        state_r = replicate_state(state, mesh)
+        new_state, metrics = step(state_r, KEY)
+        assert int(new_state.step) == 1
+        assert np.isfinite(float(metrics["d_loss"]))
+        # Output state is replicated (single logical value).
+        leaf = jax.tree_util.tree_leaves(new_state.params_g)[0]
+        assert leaf.sharding.is_fully_replicated
+
+    def test_dp_grads_equal_global_batch_grads(self):
+        # pmean-of-local-grads == grad-of-global-mean: run 1 critic update
+        # with fresh_critic_batches=False on dp=4 vs a single device fed the
+        # concatenation of the four per-device batches.
+        from ofdmgan_tpu.training.wgan_gp import critic_loss_fn
+        from ofdmgan_tpu.signal.datagen import synthetic_batch
+        from ofdmgan_tpu.parallel.mesh import fold_device_key
+
+        gen, critic, tx_g, tx_d, state, dg, loss = _setup()
+        key = jax.random.PRNGKey(5)
+        # Build the 4 per-device batches exactly as the sharded step would.
+        batches = [
+            synthetic_batch(jax.random.fold_in(key, i), 8, dg) for i in range(4)
+        ]
+        merged = jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *batches
+        )
+        gp_key = jax.random.PRNGKey(7)
+
+        # NOTE: GP epsilon sampling differs between per-device and merged
+        # runs (different shapes), so compare the GP-free part: set gp_weight
+        # to 0 for this equivalence check.
+        loss0 = LossConfig(gp_weight=0.0)
+        grads_global = jax.grad(
+            lambda p: critic_loss_fn(
+                p, state.params_g, gen.apply, critic.apply, merged, gp_key, loss0
+            )[0]
+        )(state.params_d)
+        grads_local = [
+            jax.grad(
+                lambda p: critic_loss_fn(
+                    p, state.params_g, gen.apply, critic.apply, b, gp_key, loss0
+                )[0]
+            )(state.params_d)
+            for b in batches
+        ]
+        grads_mean = jax.tree_util.tree_map(
+            lambda *gs: sum(gs) / len(gs), *grads_local
+        )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(grads_global),
+            jax.tree_util.tree_leaves(grads_mean),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    def test_2d_mesh_with_spare_axis(self):
+        mesh = make_mesh({"dp": 4, "tp": 2})
+        gen, critic, tx_g, tx_d, state, dg, loss = _setup()
+        step = make_sharded_train_step(
+            gen.apply, critic.apply, tx_g, tx_d, dg, loss,
+            global_batch_size=32, mesh=mesh, donate=False,
+        )
+        new_state, metrics = step(replicate_state(state, mesh), KEY)
+        assert np.isfinite(float(metrics["g_loss"]))
