@@ -1,0 +1,217 @@
+"""High-level trainer: epochs, validation, checkpoints, logging, export.
+
+Behavioral parity target: reference train.py:62-536 (CWGANGPTrainer) —
+epoch loop with per-epoch validation, StepLR schedules, periodic + best
+checkpoints, TensorBoard scalars, post-training FPGA export — rebuilt
+around the fused on-device train step (no DataLoader: datagen happens
+inside the jitted step; an "epoch" is ``samples_per_epoch // batch_size``
+outer steps, matching the reference's 10k-sample synthetic epochs).
+
+Checkpoints are Orbax directories holding the full TrainState (params,
+both optimizer states, step) plus a JSON sidecar with epoch/best-val/config
+— the same resume contract as the reference (train.py:411-445).
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import time
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from ..config import datagen_config_from, loss_config_from, training_params_from
+from ..models import MiniDiscriminator, MiniGenerator
+from ..parallel import make_mesh, make_sharded_train_step, replicate_state
+from ..signal.datagen import DatagenConfig
+from ..utils.logging import MetricsLogger
+from .schedules import make_adam
+from .wgan_gp import LossConfig, TrainState, make_eval_step, make_train_step
+
+
+class Trainer:
+    def __init__(
+        self,
+        config: Dict[str, Any] | None = None,
+        nonlinear: bool = False,
+        pa_saturation: float = 0.8,
+        samples_per_epoch: int = 10_000,
+        val_samples: int = 1_000,
+        scan_steps: int = 0,
+        data_parallel: int = 0,
+        seed: int = 0,
+    ):
+        self.config = config or {}
+        self.tp = training_params_from(self.config)
+        self.dg_cfg: DatagenConfig = datagen_config_from(self.config, nonlinear, pa_saturation)
+        self.loss_cfg: LossConfig = loss_config_from(self.config)
+
+        self.batch_size = self.tp["batch_size"]
+        self.steps_per_epoch = max(1, samples_per_epoch // self.batch_size)
+        self.val_batches = max(1, val_samples // self.batch_size)
+        if scan_steps <= 0:
+            scan_steps = min(self.steps_per_epoch, 32)
+        # epoch length must be a whole number of scan chunks
+        while self.steps_per_epoch % scan_steps:
+            scan_steps -= 1
+        self.scan_steps = scan_steps
+
+        gcfg = self.config.get("model", {}).get("generator", {})
+        dcfg = self.config.get("model", {}).get("discriminator", {})
+        frame_length = self.dg_cfg.frame_length
+        self.generator = MiniGenerator(
+            frame_length=frame_length,
+            enc1_channels=gcfg.get("enc1_channels", 4),
+            bottleneck_channels=gcfg.get("bottleneck_channels", 8),
+            dec1_channels=gcfg.get("dec1_channels", 4),
+            leaky_slope=gcfg.get("leaky_slope", 0.2),
+        )
+        self.discriminator = MiniDiscriminator(
+            frame_length=frame_length,
+            conv1_channels=dcfg.get("conv1_channels", 8),
+            conv2_channels=dcfg.get("conv2_channels", 16),
+            leaky_slope=dcfg.get("leaky_slope", 0.2),
+        )
+
+        # StepLR in optimizer-update counts (G: 1/step; D: n_critic/step)
+        decay_g = self.tp["scheduler_step"] * self.steps_per_epoch
+        decay_d = decay_g * self.loss_cfg.n_critic
+        self.tx_g = make_adam(self.tp["lr_generator"], self.tp["betas"], decay_g, self.tp["scheduler_gamma"])
+        self.tx_d = make_adam(self.tp["lr_discriminator"], self.tp["betas"], decay_d, self.tp["scheduler_gamma"])
+
+        key = jax.random.PRNGKey(seed)
+        x0 = np.zeros((1, frame_length, 2), np.float32)
+        params_g = self.generator.init(key, x0)
+        params_d = self.discriminator.init(key, x0, x0)
+        self.state = TrainState.create(params_g, params_d, self.tx_g, self.tx_d)
+
+        self.mesh = None
+        n_dev = len(jax.devices())
+        if data_parallel == 0:
+            data_parallel = n_dev if n_dev > 1 else 1
+        if data_parallel > 1:
+            self.mesh = make_mesh({"dp": data_parallel})
+            self.state = replicate_state(self.state, self.mesh)
+            self._step = make_sharded_train_step(
+                self.generator.apply, self.discriminator.apply,
+                self.tx_g, self.tx_d, self.dg_cfg, self.loss_cfg,
+                global_batch_size=self.batch_size, mesh=self.mesh,
+                scan_steps=self.scan_steps,
+            )
+        else:
+            self._step = make_train_step(
+                self.generator.apply, self.discriminator.apply,
+                self.tx_g, self.tx_d, self.dg_cfg, self.loss_cfg,
+                batch_size=self.batch_size, scan_steps=self.scan_steps,
+            )
+        self._eval = make_eval_step(self.generator.apply, self.dg_cfg, self.batch_size)
+
+        self.current_epoch = 0
+        self.best_val_loss = float("inf")
+        self.logger: Optional[MetricsLogger] = None
+        self._key = jax.random.PRNGKey(seed + 1)
+        self._ckptr = ocp.PyTreeCheckpointer()
+
+    # ------------------------------------------------------------------ utils
+    def _next_key(self):
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    # ------------------------------------------------------------- public API
+    def train_epoch(self, epoch: int) -> Dict[str, float]:
+        metrics = {}
+        for _ in range(self.steps_per_epoch // self.scan_steps):
+            self.state, metrics = self._step(self.state, self._next_key())
+        return {k: float(v) for k, v in metrics.items()}
+
+    def validate(self) -> Dict[str, float]:
+        totals = {"rec_loss": 0.0, "mse": 0.0}
+        for _ in range(self.val_batches):
+            m = self._eval(self.state.params_g, self._next_key())
+            for k in totals:
+                totals[k] += float(m[k])
+        return {k: v / self.val_batches for k, v in totals.items()}
+
+    def save_checkpoint(self, path: str, is_best: bool = False):
+        """Full-state checkpoint + sidecar (train.py:411-430)."""
+        path = Path(path).absolute()
+        if path.exists():
+            shutil.rmtree(path)
+        state = jax.device_get(self.state)
+        self._ckptr.save(str(path), state)
+        sidecar = {
+            "epoch": self.current_epoch,
+            "global_step": int(state.step),
+            "best_val_loss": self.best_val_loss,
+            "config": self.config,
+        }
+        (path / "trainer_state.json").write_text(json.dumps(sidecar, indent=2))
+        if is_best:
+            best = path.parent / "best_model"
+            if best.exists():
+                shutil.rmtree(best)
+            shutil.copytree(path, best)
+
+    def load_checkpoint(self, path: str):
+        """Resume everything incl. optimizer/schedule state (train.py:432-445)."""
+        path = Path(path).absolute()
+        template = jax.device_get(self.state)
+        state = self._ckptr.restore(str(path), item=template)
+        self.state = state
+        if self.mesh is not None:
+            self.state = replicate_state(self.state, self.mesh)
+        sidecar = json.loads((path / "trainer_state.json").read_text())
+        self.current_epoch = sidecar["epoch"]
+        self.best_val_loss = sidecar["best_val_loss"]
+
+    def train(self, epochs: Optional[int] = None, experiment_name: Optional[str] = None,
+              export_after: bool = True) -> TrainState:
+        epochs = epochs or self.tp["epochs"]
+        self.logger = MetricsLogger(self.tp["log_dir"], experiment_name,
+                                    tensorboard=self.config.get("logging", {}).get("tensorboard", True))
+        self.logger.log_text("config", json.dumps(self.config, indent=2, default=str))
+        ckpt_dir = Path(self.tp["checkpoint_dir"]).absolute()
+        ckpt_dir.mkdir(parents=True, exist_ok=True)
+
+        print(f"Training for {epochs} epochs | batch {self.batch_size} | "
+              f"{self.steps_per_epoch} steps/epoch (scan {self.scan_steps}) | "
+              f"n_critic {self.loss_cfg.n_critic} | gp {self.loss_cfg.gp_weight} | "
+              f"rec {self.loss_cfg.rec_weight} | devices {len(jax.devices())}")
+        t0 = time.time()
+        for epoch in range(self.current_epoch, epochs):
+            self.current_epoch = epoch
+            tm = self.train_epoch(epoch)
+            vm = self.validate()
+            step = int(jax.device_get(self.state.step))
+            self.logger.log_scalars("train", {
+                "d_loss": tm["d_loss"], "g_loss": tm["g_loss"],
+                "wasserstein": tm["wasserstein_distance"],
+                "rec_loss": tm["rec_loss"], "gp": tm["gradient_penalty"],
+            }, step)
+            self.logger.log_scalars("val", vm, epoch)
+            print(f"Epoch {epoch}: D {tm['d_loss']:.4f} G {tm['g_loss']:.4f} "
+                  f"W {tm['wasserstein_distance']:.4f} L1 {tm['rec_loss']:.4f} | "
+                  f"val L1 {vm['rec_loss']:.4f} MSE {vm['mse']:.4f}")
+
+            if (epoch + 1) % self.tp["checkpoint_interval"] == 0:
+                self.save_checkpoint(str(ckpt_dir / f"checkpoint_epoch_{epoch+1}"))
+            if self.tp["save_best"] and vm["rec_loss"] < self.best_val_loss:
+                self.best_val_loss = vm["rec_loss"]
+                self.save_checkpoint(str(ckpt_dir / f"checkpoint_epoch_{epoch+1}"), is_best=True)
+
+        print(f"Training complete in {(time.time()-t0)/3600:.2f} hours")
+        self.save_checkpoint(str(ckpt_dir / "final_model"))
+
+        if export_after and self.config.get("export_after_training", True):
+            from ..quant.export import export_generator
+
+            export_dir = Path(self.tp["export_dir"]) / "generator"
+            print(f"Exporting weights for FPGA to {export_dir} ...")
+            export_generator(jax.device_get(self.state.params_g), str(export_dir))
+
+        self.logger.close()
+        return self.state

