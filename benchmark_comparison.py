@@ -1,0 +1,97 @@
+#!/usr/bin/env python3
+"""GAN-vs-classical-equalizer benchmark CLI — flag-compatible with the
+reference's benchmark_comparison.py:356-378.
+
+Runs two sweeps (linear AWGN and nonlinear impairments), prints MSE tables,
+the degradation summary, and saves comparison plots.
+"""
+
+import argparse
+import os
+from pathlib import Path
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Benchmark GAN vs Classical Equalizers")
+    parser.add_argument("--checkpoint", type=str, default="checkpoints/best_model",
+                        help="Orbax checkpoint directory of a trained GAN")
+    parser.add_argument("--n_trials", type=int, default=100)
+    parser.add_argument("--frame_length", type=int, default=16)
+    parser.add_argument("--snr_min", type=float, default=0)
+    parser.add_argument("--snr_max", type=float, default=30)
+    parser.add_argument("--snr_step", type=float, default=5)
+    parser.add_argument("--channel", type=str, default="awgn",
+                        choices=["awgn", "rayleigh", "rician"])
+    parser.add_argument("--nonlinear", action="store_true",
+                        help="run ONLY the nonlinear sweep (default: both)")
+    parser.add_argument("--pa_saturation", type=float, default=0.8)
+    parser.add_argument("--output_dir", type=str, default="./benchmark_results")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--platform", type=str, default=None)
+    args = parser.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import numpy as np
+
+    from ofdmgan_tpu.eval.benchmark import (
+        degradation_summary, plot_benchmark_results, print_results_table, run_benchmark,
+    )
+    from ofdmgan_tpu.models import MiniGenerator, count_parameters
+
+    print(f"Using devices: {jax.devices()}")
+    snr_values = [float(s) for s in np.arange(args.snr_min, args.snr_max + 1, args.snr_step)]
+    out = Path(args.output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+
+    gen = MiniGenerator(frame_length=args.frame_length)
+    if os.path.exists(args.checkpoint):
+        import orbax.checkpoint as ocp
+
+        print(f"Loading checkpoint: {args.checkpoint}")
+        restored = ocp.PyTreeCheckpointer().restore(str(Path(args.checkpoint).absolute()))
+        params_g = restored["params_g"] if "params_g" in restored else restored
+    else:
+        print("Warning: No checkpoint found, using untrained generator")
+        print("Results will show potential, not actual trained performance")
+        import jax.numpy as jnp
+
+        params_g = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, args.frame_length, 2)))
+    print(f"Generator parameters: {count_parameters(params_g):,}")
+
+    kw = dict(n_trials=args.n_trials, frame_length=args.frame_length,
+              snr_values=snr_values, seed=args.seed)
+
+    results_nl = None
+    if not args.nonlinear:
+        print("\n" + "=" * 80 + "\n  BENCHMARK 1: Linear Channel (AWGN)\n" + "=" * 80)
+        results_lin = run_benchmark(gen.apply, params_g, channel_type=args.channel,
+                                    nonlinear=False, **kw)
+        print_results_table(results_lin, snr_values, "Linear AWGN Channel - MSE (dB)")
+        plot_benchmark_results(results_lin, snr_values, "(Linear AWGN)",
+                               out / "benchmark_linear_awgn.png")
+    else:
+        results_lin = None
+
+    print("\n" + "=" * 80 +
+          "\n  BENCHMARK 2: Non-Linear Impairments (PA + IQ + Phase Noise)\n" + "=" * 80)
+    results_nl = run_benchmark(gen.apply, params_g, channel_type=args.channel,
+                               nonlinear=True, pa_saturation=args.pa_saturation, **kw)
+    print_results_table(results_nl, snr_values,
+                        f"Non-Linear Impairments (PA sat={args.pa_saturation}) - MSE (dB)")
+    plot_benchmark_results(results_nl, snr_values,
+                           f"(Non-Linear, PA={args.pa_saturation})",
+                           out / "benchmark_nonlinear.png")
+
+    if results_lin is not None:
+        print("\n" + "=" * 80 + "\n  COMPARISON SUMMARY\n" + "=" * 80)
+        degradation_summary(results_lin, results_nl, snr_values)
+        print("\nKey Insight: Classical methods degrade significantly with non-linear")
+        print("impairments. GAN shows more robust performance.")
+    print(f"\nResults saved to: {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,210 @@
+"""GAN-vs-classical equalizer benchmark — the SNR-sweep comparison harness.
+
+Behavioral parity target: reference benchmark_comparison.py:62-472. Same
+experiment design:
+  * clean OFDM-like frames: ifft(CN(0,1) spectrum)·sqrt(L),
+  * optional nonlinear impairments (Rapp PA, IQ imbalance, phase noise)
+    applied BEFORE the linear channel (benchmark_comparison.py:99-116),
+  * per-frame INDEPENDENT max-abs normalization of noisy and clean
+    (benchmark_comparison.py:129-134,196-197 — unlike training's joint norm),
+  * methods: GAN, ZF, MMSE, DFE, LMS, RLS, NoEQ; classical equalizers get
+    the clean frame for channel estimation/training (oracle-assisted, a
+    documented reference quirk — SURVEY.md §7.4),
+  * metrics: MSE and EVM(dB), averaged over trials per SNR.
+
+TPU-native design: all trials for one SNR run as ONE batched, jitted
+computation (vmapped equalizer scans + batched GAN forward) instead of the
+reference's per-trial Python loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..signal import channel as channel_lib
+from ..signal import impairments as imp_lib
+from ..signal.ofdm import ofdm_like_frame
+from ..utils.iq import complex_to_iq, iq_to_complex
+from . import equalizers as eq
+from .metrics import evm_db, mse
+
+METHODS = ["GAN", "ZF", "MMSE", "DFE", "LMS", "RLS", "NoEQ"]
+
+
+def _normalize_each(iq: jnp.ndarray) -> jnp.ndarray:
+    """Independent per-frame max-abs normalization (benchmark_comparison.py:129)."""
+    m = jnp.max(jnp.abs(iq), axis=tuple(range(1, iq.ndim)), keepdims=True)
+    return iq / jnp.maximum(m, 1e-12)
+
+
+@partial(jax.jit, static_argnames=("n_trials", "frame_length", "channel_type",
+                                   "nonlinear", "gen_apply"))
+def _one_snr_batch(
+    key: jax.Array,
+    params_g,
+    snr_db: jnp.ndarray,
+    n_trials: int,
+    frame_length: int,
+    channel_type: str,
+    nonlinear: bool,
+    pa_saturation: float,
+    gen_apply: Optional[Callable],
+):
+    """All trials at one SNR as a single fused computation.
+    Returns per-method (mse[n_trials], evm[n_trials])."""
+    k_sym, k_imp, k_ch = jax.random.split(key, 3)
+    kr, ki = jax.random.split(k_sym)
+    freq = (
+        jax.random.normal(kr, (n_trials, frame_length))
+        + 1j * jax.random.normal(ki, (n_trials, frame_length))
+    ) / jnp.sqrt(2.0)
+    clean_c = ofdm_like_frame(freq)
+
+    distorted = clean_c
+    if nonlinear:
+        distorted = imp_lib.pa_rapp(distorted, pa_saturation, 3.0)
+        distorted = imp_lib.iq_imbalance(distorted, 1.0, 5.0)
+        distorted = imp_lib.phase_noise(k_imp, distorted, -80.0, 1e6)
+
+    noisy_c, _ = channel_lib.apply(
+        k_ch, distorted, snr_db, channel_lib.ChannelConfig(channel_type)
+    )
+
+    clean_iq = _normalize_each(complex_to_iq(clean_c).astype(jnp.float32))
+    noisy_iq = _normalize_each(complex_to_iq(noisy_c).astype(jnp.float32))
+
+    results = {}
+
+    def add(name, est_iq):
+        results[name] = (
+            mse(est_iq, clean_iq, per_item=True),
+            evm_db(est_iq, clean_iq, per_item=True),
+        )
+
+    if gen_apply is not None:
+        add("GAN", gen_apply(params_g, noisy_iq))
+    add("NoEQ", noisy_iq)
+    add("ZF", jax.vmap(lambda n, c: eq.zf_equalize_iq(n, c)[0])(noisy_iq, clean_iq))
+    add("MMSE", jax.vmap(lambda n, c: eq.mmse_equalize_iq(n, c, snr_db)[0])(noisy_iq, clean_iq))
+    add("DFE", jax.vmap(lambda n, c: eq.dfe_equalize_iq(n, c)[0])(noisy_iq, clean_iq))
+    add("LMS", jax.vmap(lambda n, c: eq.lms_equalize_iq(n, c)[0])(noisy_iq, clean_iq))
+    add("RLS", jax.vmap(lambda n, c: eq.rls_equalize_iq(n, c)[0])(noisy_iq, clean_iq))
+    return results
+
+
+def run_benchmark(
+    gen_apply: Optional[Callable],
+    params_g,
+    n_trials: int = 100,
+    frame_length: int = 16,
+    snr_values: List[float] = (0, 5, 10, 15, 20, 25, 30),
+    channel_type: str = "awgn",
+    nonlinear: bool = False,
+    pa_saturation: float = 1.0,
+    seed: int = 0,
+) -> Dict[str, Dict[float, Dict[str, float]]]:
+    """SNR sweep -> method -> snr -> {mse, mse_std, evm, evm_std}
+    (benchmark_comparison.py:149-261)."""
+    methods = METHODS if gen_apply is not None else [m for m in METHODS if m != "GAN"]
+    out = {m: {} for m in methods}
+    print(f"\nRunning benchmark: {n_trials} trials x {len(snr_values)} SNR values")
+    print(f"Channel: {channel_type}, Non-linear: {nonlinear}")
+    if nonlinear:
+        print(f"  PA Saturation: {pa_saturation}, IQ Imbalance: 1.0dB/5deg")
+    for i, snr in enumerate(snr_values):
+        key = jax.random.fold_in(jax.random.PRNGKey(seed), i)
+        res = _one_snr_batch(
+            key, params_g, jnp.float32(snr), n_trials, frame_length,
+            channel_type, nonlinear, pa_saturation, gen_apply,
+        )
+        for m in methods:
+            ms, es = np.asarray(res[m][0]), np.asarray(res[m][1])
+            out[m][snr] = {
+                "mse": float(ms.mean()), "mse_std": float(ms.std()),
+                "evm": float(es.mean()), "evm_std": float(es.std()),
+            }
+        print(f"  SNR = {snr} dB: done")
+    return out
+
+
+def print_results_table(results, snr_values, title: str = ""):
+    """MSE-in-dB table + improvement summary (benchmark_comparison.py:315-352)."""
+    methods = [m for m in ("GAN", "MMSE", "DFE", "RLS", "NoEQ") if m in results]
+    print(f"\n{'=' * 80}\n  {title}\n{'=' * 80}")
+    header = f"{'SNR (dB)':<10}" + "".join(f"{m:>12}" for m in methods)
+    print(header)
+    print("-" * 80)
+    for snr in snr_values:
+        row = f"{snr:<10.0f}"
+        for m in methods:
+            row += f"{10 * np.log10(results[m][snr]['mse'] + 1e-10):>12.2f}"
+        print(row)
+    print("-" * 80)
+    high = max(snr_values)
+    if "NoEQ" in results:
+        print(f"\nImprovement over No Equalization at SNR={high}dB:")
+        noeq = results["NoEQ"][high]["mse"]
+        for m in methods:
+            if m == "NoEQ":
+                continue
+            imp = 10 * np.log10(noeq / (results[m][high]["mse"] + 1e-10))
+            print(f"  {m}: {imp:+.2f} dB")
+
+
+def plot_benchmark_results(results, snr_values, title_suffix: str = "", save_path=None):
+    """MSE/EVM vs SNR figure (benchmark_comparison.py:264-312)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    methods = [m for m in METHODS if m in results]
+    colors = dict(zip(METHODS, ["red", "blue", "green", "orange", "purple", "brown", "gray"]))
+    markers = dict(zip(METHODS, ["o", "s", "^", "v", "D", "p", "x"]))
+
+    fig, axes = plt.subplots(1, 2, figsize=(14, 5))
+    for ax, metric, ylabel in ((axes[0], "mse", "MSE (dB)"), (axes[1], "evm", "EVM (dB)")):
+        for m in methods:
+            vals = [results[m][s][metric] for s in snr_values]
+            if metric == "mse":
+                vals = [10 * np.log10(v + 1e-10) for v in vals]
+            ax.plot(snr_values, vals, color=colors[m], marker=markers[m],
+                    label=m, linewidth=2, markersize=8)
+        ax.set_xlabel("SNR (dB)", fontsize=12)
+        ax.set_ylabel(ylabel, fontsize=12)
+        ax.set_title(f"{ylabel.split()[0]} vs SNR {title_suffix}", fontsize=14)
+        ax.legend(loc="upper right")
+        ax.grid(True, alpha=0.3)
+        ax.set_xlim([min(snr_values), max(snr_values)])
+    fig.tight_layout()
+    if save_path:
+        fig.savefig(save_path, dpi=150, bbox_inches="tight")
+        print(f"Saved: {save_path}")
+    plt.close(fig)
+    return fig
+
+
+def degradation_summary(results_linear, results_nonlinear, snr_values):
+    """Linear-vs-nonlinear degradation table (benchmark_comparison.py:450-469)."""
+    high = max(snr_values)
+    rows = []
+    for m in ("GAN", "MMSE", "DFE", "RLS"):
+        if m not in results_linear:
+            continue
+        lin = 10 * np.log10(results_linear[m][high]["mse"] + 1e-10)
+        nl = 10 * np.log10(results_nonlinear[m][high]["mse"] + 1e-10)
+        rows.append((m, lin, nl, nl - lin))
+    print(f"\nAt SNR = {high} dB:")
+    print("-" * 60)
+    print(f"{'Method':<12} {'Linear MSE (dB)':<18} {'Non-Linear MSE (dB)':<18} {'Degradation'}")
+    print("-" * 60)
+    for m, lin, nl, d in rows:
+        print(f"{m:<12} {lin:>16.2f}   {nl:>16.2f}   {d:>+8.2f} dB")
+    print("-" * 60)
+    return rows

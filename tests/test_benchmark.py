@@ -1,0 +1,60 @@
+"""Benchmark harness tests: structure, oracle sanity (ZF near-perfect, NoEQ
+MSE tracks SNR), and plotting smoke."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ofdmgan_tpu.eval.benchmark import (
+    degradation_summary, plot_benchmark_results, print_results_table, run_benchmark,
+)
+from ofdmgan_tpu.models import MiniGenerator
+
+KEY = jax.random.PRNGKey(0)
+
+
+def _gen():
+    g = MiniGenerator()
+    p = g.init(KEY, jnp.zeros((1, 16, 2)))
+    return g, p
+
+
+class TestBenchmark:
+    def test_structure_and_sanity(self):
+        g, p = _gen()
+        snrs = [0.0, 15.0, 30.0]
+        res = run_benchmark(g.apply, p, n_trials=16, snr_values=snrs)
+        assert set(res) == {"GAN", "ZF", "MMSE", "DFE", "LMS", "RLS", "NoEQ"}
+        for m in res:
+            for s in snrs:
+                assert {"mse", "mse_std", "evm", "evm_std"} <= set(res[m][s])
+        # NoEQ MSE decreases with SNR
+        assert res["NoEQ"][30.0]["mse"] < res["NoEQ"][0.0]["mse"]
+        # oracle-channel ZF is near-perfect at any SNR
+        assert res["ZF"][0.0]["mse"] < 1e-4
+        # EVM decreases with SNR for NoEQ
+        assert res["NoEQ"][30.0]["evm"] < res["NoEQ"][0.0]["evm"]
+
+    def test_nonlinear_floor(self):
+        # With impairments, NoEQ error floors at high SNR well above linear.
+        g, p = _gen()
+        snrs = [30.0]
+        lin = run_benchmark(g.apply, p, n_trials=16, snr_values=snrs, nonlinear=False)
+        nl = run_benchmark(g.apply, p, n_trials=16, snr_values=snrs,
+                           nonlinear=True, pa_saturation=0.8)
+        assert nl["NoEQ"][30.0]["mse"] > 3 * lin["NoEQ"][30.0]["mse"]
+
+    def test_no_gan_mode(self):
+        res = run_benchmark(None, None, n_trials=4, snr_values=[10.0])
+        assert "GAN" not in res and "ZF" in res
+
+    def test_tables_and_plots(self, tmp_path, capsys):
+        g, p = _gen()
+        snrs = [0.0, 30.0]
+        res = run_benchmark(g.apply, p, n_trials=4, snr_values=snrs)
+        print_results_table(res, snrs, "test")
+        captured = capsys.readouterr().out
+        assert "Improvement over No Equalization" in captured
+        plot_benchmark_results(res, snrs, "(test)", tmp_path / "plot.png")
+        assert (tmp_path / "plot.png").stat().st_size > 10_000
+        degradation_summary(res, res, snrs)
