@@ -1,0 +1,222 @@
+"""OFDM signal visualization + degradation scenario generator.
+
+Behavioral parity target: reference visualization/ofdm_signal_viz.py
+(OFDMSignal dataclass, OFDMSignalGenerator with AWGN/deep-fade/
+freq-selective/burst degradations, OFDMVisualizer's time-domain /
+constellation / PSD / spectrogram panels, and the research-figure driver).
+Where the reference parses iverilog testbench stdout for "hardware" results
+(ofdm_signal_viz.py:174-272), this framework runs its OWN integer datapath
+(JAX intsim + native C++ cosim) to produce the hardware-enhancement column —
+live numbers instead of the reference's hardcoded table
+(ofdm_signal_viz.py:674-735).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class OFDMSignal:
+    """A named I/Q signal with provenance metadata
+    (ofdm_signal_viz.py:37-58)."""
+
+    name: str
+    i: np.ndarray
+    q: np.ndarray
+    sample_rate: float = 1e6
+    description: str = ""
+
+    @property
+    def complex(self) -> np.ndarray:
+        return self.i + 1j * self.q
+
+    @property
+    def power_db(self) -> float:
+        return float(10 * np.log10(np.mean(self.i**2 + self.q**2) + 1e-12))
+
+
+class OFDMSignalGenerator:
+    """Clean 16-QAM OFDM frames + channel degradations
+    (ofdm_signal_viz.py:61-171)."""
+
+    def __init__(self, n_subcarriers: int = 8, cp_length: int = 2, frame_length: int = 16,
+                 seed: int = 0):
+        self.n = n_subcarriers
+        self.cp = cp_length
+        self.frame_length = frame_length
+        self.rng = np.random.default_rng(seed)
+
+    def clean_frame(self) -> OFDMSignal:
+        levels = np.array([-3, -1, 1, 3]) / np.sqrt(10)
+        sym = self.rng.choice(levels, self.n) + 1j * self.rng.choice(levels, self.n)
+        time = np.fft.ifft(sym) * self.n
+        sig = np.concatenate([time[-self.cp:], time])
+        sig = np.resize(sig, self.frame_length)
+        scale = np.max(np.abs(sig)) + 1e-12
+        sig = sig / scale
+        return OFDMSignal("clean", sig.real, sig.imag, description="16-QAM OFDM frame")
+
+    def add_awgn(self, s: OFDMSignal, noise_percent: float = 30.0) -> OFDMSignal:
+        amp = noise_percent / 100.0 * np.max(np.abs(s.complex))
+        n = amp * (self.rng.standard_normal(len(s.i)) + 1j * self.rng.standard_normal(len(s.i))) / np.sqrt(2)
+        c = s.complex + n
+        return OFDMSignal(f"awgn{noise_percent:.0f}", c.real, c.imag,
+                          description=f"AWGN {noise_percent:.0f}% of peak")
+
+    def add_deep_fade(self, s: OFDMSignal, fade_percent: float = 60.0,
+                      start: int = 4, stop: int = 8) -> OFDMSignal:
+        c = s.complex.copy()
+        c[start:stop] *= 1.0 - fade_percent / 100.0
+        return OFDMSignal(f"fade{fade_percent:.0f}", c.real, c.imag,
+                          description=f"deep fade {fade_percent:.0f}% @ {start}-{stop}")
+
+    def add_burst_interference(self, s: OFDMSignal, burst_amp: float = 0.8,
+                               start: int = 8, stop: int = 12) -> OFDMSignal:
+        c = s.complex.copy()
+        rnd = self.rng.standard_normal(stop - start) + 1j * self.rng.standard_normal(stop - start)
+        c[start:stop] += burst_amp * rnd / np.sqrt(2)
+        return OFDMSignal("burst", c.real, c.imag,
+                          description=f"burst interference @ {start}-{stop}")
+
+    def add_frequency_selective_fade(self, s: OFDMSignal, depth: float = 0.5) -> OFDMSignal:
+        spec = np.fft.fft(s.complex)
+        taper = 1.0 - depth * np.abs(np.sin(np.linspace(0, np.pi, len(spec))))
+        c = np.fft.ifft(spec * taper)
+        return OFDMSignal("freqsel", c.real, c.imag,
+                          description=f"frequency-selective fade depth {depth}")
+
+
+class OFDMVisualizer:
+    """Multi-panel signal figures (ofdm_signal_viz.py:275-656)."""
+
+    def __init__(self, output_dir: str = "docs/figures/signals"):
+        self.out = Path(output_dir)
+        self.out.mkdir(parents=True, exist_ok=True)
+
+    def _plt(self):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        return plt
+
+    def plot_time_domain(self, signals: List[OFDMSignal], fname: str = "time_domain.png"):
+        plt = self._plt()
+        fig, axes = plt.subplots(len(signals), 1, figsize=(10, 2.2 * len(signals)), sharex=True)
+        if len(signals) == 1:
+            axes = [axes]
+        for ax, s in zip(axes, signals):
+            ax.plot(s.i, "b.-", label="I", ms=4)
+            ax.plot(s.q, "r.-", label="Q", ms=4)
+            ax.set_ylabel(s.name, fontsize=9)
+            ax.grid(alpha=0.3)
+            ax.legend(loc="upper right", fontsize=7)
+        axes[-1].set_xlabel("sample")
+        fig.suptitle("Time-domain I/Q")
+        fig.tight_layout()
+        fig.savefig(self.out / fname, dpi=130)
+        plt.close(fig)
+        return self.out / fname
+
+    def plot_constellation(self, signals: List[OFDMSignal], fname: str = "constellation.png"):
+        plt = self._plt()
+        ncol = len(signals)
+        fig, axes = plt.subplots(1, ncol, figsize=(3.2 * ncol, 3.2))
+        if ncol == 1:
+            axes = [axes]
+        for ax, s in zip(axes, signals):
+            ax.scatter(s.i, s.q, s=18, alpha=0.7)
+            ax.set_title(s.name, fontsize=9)
+            ax.set_xlabel("I")
+            ax.set_ylabel("Q")
+            ax.grid(alpha=0.3)
+            ax.axhline(0, color="gray", lw=0.5)
+            ax.axvline(0, color="gray", lw=0.5)
+        fig.suptitle("Constellations")
+        fig.tight_layout()
+        fig.savefig(self.out / fname, dpi=130)
+        plt.close(fig)
+        return self.out / fname
+
+    def plot_psd(self, signals: List[OFDMSignal], fname: str = "psd.png"):
+        plt = self._plt()
+        fig, ax = plt.subplots(figsize=(8, 4))
+        for s in signals:
+            spec = np.fft.fftshift(np.fft.fft(s.complex))
+            psd = 20 * np.log10(np.abs(spec) + 1e-9)
+            f = np.fft.fftshift(np.fft.fftfreq(len(spec), 1 / s.sample_rate)) / 1e3
+            ax.plot(f, psd, label=s.name)
+        ax.set_xlabel("frequency (kHz)")
+        ax.set_ylabel("PSD (dB)")
+        ax.legend(fontsize=8)
+        ax.grid(alpha=0.3)
+        fig.tight_layout()
+        fig.savefig(self.out / fname, dpi=130)
+        plt.close(fig)
+        return self.out / fname
+
+    def metric_table(self, rows: List[Dict], fname: str = "metrics.json"):
+        (self.out / fname).write_text(json.dumps(rows, indent=2))
+        return self.out / fname
+
+
+def create_research_quality_figures(
+    gen_params=None, output_dir: str = "docs/figures/signals", seed: int = 0
+) -> Dict[str, List[Dict]]:
+    """Scenario figures + enhancement tables through the LIVE integer
+    datapath (replacing the reference's hardcoded RTL results,
+    ofdm_signal_viz.py:659-900)."""
+    import jax
+
+    from ..models import MiniGenerator
+    from ..quant import intsim
+
+    g = OFDMSignalGenerator(seed=seed)
+    viz = OFDMVisualizer(output_dir)
+    clean = g.clean_frame()
+    scenarios = [
+        ("awgn_30", g.add_awgn(clean, 30.0)),
+        ("deep_fade_60", g.add_deep_fade(g.add_awgn(clean, 10.0), 60.0)),
+        ("burst", g.add_burst_interference(g.add_awgn(clean, 10.0))),
+        ("freq_selective", g.add_frequency_selective_fade(g.add_awgn(clean, 10.0))),
+        ("worst_case", g.add_deep_fade(g.add_awgn(clean, 50.0), 80.0)),
+    ]
+    all_signals = [clean] + [s for _, s in scenarios]
+    viz.plot_time_domain(all_signals)
+    viz.plot_constellation(all_signals)
+    viz.plot_psd(all_signals)
+
+    gen = MiniGenerator()
+    if gen_params is None:
+        gen_params = gen.init(jax.random.PRNGKey(0), np.zeros((1, 16, 2), np.float32))
+    ip = intsim.quantize_weights_rtl(jax.device_get(gen_params), "generator")
+
+    rows = []
+    for name, s in scenarios:
+        degraded = np.stack([s.i, s.q], axis=-1)[None].astype(np.float32)  # [1,16,2]
+        ref = np.stack([clean.i, clean.q], axis=-1)[None].astype(np.float32)
+        # float model enhancement
+        enh_f = np.asarray(gen.apply(gen_params, degraded))
+        # integer (RTL-semantics) enhancement
+        import jax.numpy as jnp
+
+        q = intsim.float_to_q88(jnp.asarray(degraded))
+        enh_i = np.asarray(intsim.q88_to_float(intsim.generator_int_forward(ip, q, "rtl")))
+        mse_before = float(np.mean((degraded - ref) ** 2))
+        rows.append({
+            "scenario": name,
+            "description": s.description,
+            "mse_degraded": mse_before,
+            "mse_enhanced_float": float(np.mean((enh_f - ref) ** 2)),
+            "mse_enhanced_int": float(np.mean((enh_i - ref) ** 2)),
+            "snr_degraded_db": float(10 * np.log10(np.mean(ref**2) / (mse_before + 1e-12))),
+        })
+    viz.metric_table(rows, "scenario_results.json")
+    return {"scenarios": rows}
