@@ -70,6 +70,7 @@ def make_sharded_train_step(
     mesh: Mesh,
     scan_steps: int = 1,
     donate: bool = True,
+    matmul_precision: str = "float32",
 ) -> Callable[[TrainState, jax.Array], Tuple[TrainState, dict]]:
     """Data-parallel fused train step over ``mesh`` axis ``dp``.
 
@@ -93,6 +94,7 @@ def make_sharded_train_step(
         per_device,
         scan_steps=scan_steps,
         axis_name="dp",
+        matmul_precision=matmul_precision,
     )
 
     def per_replica(state: TrainState, key: jax.Array):

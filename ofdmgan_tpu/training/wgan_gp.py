@@ -118,6 +118,7 @@ def build_train_step(
     batch_size: int,
     scan_steps: int = 1,
     axis_name: str | None = None,
+    matmul_precision: str = "float32",
 ) -> Callable[[TrainState, jax.Array], Tuple[TrainState, dict]]:
     """Build the (unjitted) fused outer step ``(state, key) -> (state, metrics)``.
 
@@ -126,6 +127,13 @@ def build_train_step(
     ``pmean``-reduced across the mesh axis before each optimizer update, so
     all replicas apply identical updates — the XLA-collective equivalent of
     a distributed all-reduce data-parallel step (SURVEY.md §2.4/§5.8).
+
+    ``matmul_precision``: WGAN-GP training REQUIRES "float32" on TPU. With
+    the MXU's default bf16-truncated matmuls the critic races ahead and the
+    adversarial equilibrium collapses after ~1-2k steps (empirically
+    reproduced across batch sizes/seeds; float32 runs track the CPU/torch
+    reference dynamics exactly). "bfloat16"/"tensorfloat32" remain
+    selectable for non-adversarial workloads.
     """
 
     def reduce_tree(t):
@@ -136,6 +144,8 @@ def build_train_step(
     def one_step(state: TrainState, key: jax.Array):
         k_data, k_crit, k_gen = jax.random.split(key, 3)
         batch0 = synthetic_batch(k_data, batch_size, dg_cfg)
+        # (the whole body below is traced under the matmul-precision context
+        # installed by the step_fn wrapper at the bottom of this builder)
 
         def critic_body(carry, k):
             params_d, opt_d = carry
@@ -177,13 +187,13 @@ def build_train_step(
         )
         return new_state, {**d_aux, **g_aux}
 
-    if scan_steps == 1:
-        return one_step
-
     def step_fn(state: TrainState, key: jax.Array):
-        keys = jax.random.split(key, scan_steps)
-        state, metrics = jax.lax.scan(one_step, state, keys)
-        return state, jax.tree_util.tree_map(lambda x: x[-1], metrics)
+        with jax.default_matmul_precision(matmul_precision):
+            if scan_steps == 1:
+                return one_step(state, key)
+            keys = jax.random.split(key, scan_steps)
+            state, metrics = jax.lax.scan(one_step, state, keys)
+            return state, jax.tree_util.tree_map(lambda x: x[-1], metrics)
 
     return step_fn
 
@@ -198,10 +208,12 @@ def make_train_step(
     batch_size: int,
     scan_steps: int = 1,
     donate: bool = True,
+    matmul_precision: str = "float32",
 ) -> Callable[[TrainState, jax.Array], Tuple[TrainState, dict]]:
     """Single-device jitted fused train step (see ``build_train_step``)."""
     step_fn = build_train_step(
-        gen_apply, critic_apply, tx_g, tx_d, dg_cfg, loss_cfg, batch_size, scan_steps
+        gen_apply, critic_apply, tx_g, tx_d, dg_cfg, loss_cfg, batch_size,
+        scan_steps, matmul_precision=matmul_precision,
     )
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
