@@ -1,0 +1,154 @@
+"""Full-scale U-Net generator family (the 1024-sample, 7M-param design).
+
+Behavioral parity target: the reference's full model, reconstructed from its
+checked-in export (export/generator/metadata.json — the training notebook
+itself is absent from the snapshot, .MISSING_LARGE_BLOBS): a 5-level 1-D
+U-Net, channels 2→32→64→128→256→512, each level = strided conv + unit
+conv, two-bottleneck, additive skips at every decoder level except the
+last, k=3 output conv + tanh:
+
+    enc_i:   conv(s2) + conv(s1)       L: 1024→512→256→128→64→32
+    bottle:  conv(s1) x2 @ 512ch
+    dec_i:   upsample x2 + conv(s1) x2, then + enc_{5-i} skip (i<5)
+    final:   conv(32→2, k3) + tanh
+
+Layer/export names match the reference metadata exactly (enc1_1 ... final).
+
+The critic counterpart (``FullDiscriminator``) has no reference spec (the
+reference never exported it); it scales the mini critic's design: concat →
+strided conv stack → global sum pool → dense.
+
+Tensor parallelism: ``unet_param_shardings`` produces a Megatron-style
+alternating column/row partitioning of the conv kernels over a ``tp`` mesh
+axis (``*_1`` kernels shard C_out, ``*_2``/final kernels shard C_in), so
+each level needs a single all-reduce which XLA GSPMD inserts automatically.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from jax.nn import leaky_relu
+
+from ..ops.dense_conv import upsample_nearest_2x
+
+_XAVIER = nn.initializers.xavier_uniform()
+_ZEROS = nn.initializers.zeros_init()
+
+
+def _conv(features: int, stride: int, name: str) -> nn.Conv:
+    return nn.Conv(
+        features=features,
+        kernel_size=(3,),
+        strides=(stride,),
+        padding=((1, 1),),
+        kernel_init=_XAVIER,
+        bias_init=_ZEROS,
+        name=name,
+    )
+
+
+class FullUNetGenerator(nn.Module):
+    """Channels-last ``[B, L, 2] -> [B, L, 2]``; L divisible by 2^levels."""
+
+    frame_length: int = 1024
+    levels: int = 5
+    base_channels: int = 32
+    output_channels: int = 2
+    leaky_slope: float = 0.2
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        a = self.leaky_slope
+        widths = [self.base_channels * (2**i) for i in range(self.levels)]
+
+        skips = []
+        h = x
+        for i, w in enumerate(widths):
+            h = leaky_relu(_conv(w, 2, f"enc{i+1}_1")(h), a)
+            h = leaky_relu(_conv(w, 1, f"enc{i+1}_2")(h), a)
+            skips.append(h)
+
+        h = leaky_relu(_conv(widths[-1], 1, "bottle1")(h), a)
+        h = leaky_relu(_conv(widths[-1], 1, "bottle2")(h), a)
+
+        for i in range(self.levels):
+            out_w = widths[self.levels - 2 - i] if i < self.levels - 1 else widths[0]
+            h = upsample_nearest_2x(h)
+            h = leaky_relu(_conv(out_w, 1, f"dec{i+1}_1")(h), a)
+            h = leaky_relu(_conv(out_w, 1, f"dec{i+1}_2")(h), a)
+            if i < self.levels - 1:  # additive skip (no skip at input resolution)
+                h = h + skips[self.levels - 2 - i]
+
+        out = _conv(self.output_channels, 1, "final")(h)
+        return jnp.tanh(out)
+
+
+class FullDiscriminator(nn.Module):
+    """Scaled conditional critic for the 1024-sample family (no reference
+    counterpart — designed to mirror the mini critic's shape: strided conv
+    stack, sum pool, dense; no batchnorm)."""
+
+    frame_length: int = 1024
+    levels: int = 5
+    base_channels: int = 32
+    leaky_slope: float = 0.2
+
+    @nn.compact
+    def __call__(self, candidate: jnp.ndarray, condition: jnp.ndarray) -> jnp.ndarray:
+        a = self.leaky_slope
+        h = jnp.concatenate([candidate, condition], axis=-1)
+        for i in range(self.levels):
+            w = self.base_channels * (2 ** min(i, 4))
+            h = leaky_relu(_conv(w, 2, f"conv{i+1}")(h), a)
+        pooled = jnp.sum(h, axis=-2)
+        return nn.Dense(1, kernel_init=_XAVIER, bias_init=_ZEROS, name="dense")(pooled)
+
+
+# ------------------------------------------------------------------ sharding
+def unet_param_shardings(params: Any, mesh) -> Any:
+    """NamedSharding tree for tensor parallelism over mesh axis ``tp``.
+
+    Megatron-style column/row alternation per level:
+      * ``*_1`` conv kernels [k, cin, cout]: shard cout  -> P(None, None, 'tp')
+        (their biases shard over 'tp' too),
+      * ``*_2`` / ``final`` kernels: shard cin -> P(None, 'tp', None), biases
+        replicated (their outputs need one all-reduce, inserted by GSPMD).
+    Everything else replicated.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    tp = mesh.shape.get("tp", 1)
+
+    def rule(path, leaf):
+        names = [getattr(p, "key", str(p)) for p in path]
+        layer = names[-2] if len(names) >= 2 else ""
+        leafname = names[-1]
+        spec = P()
+        if tp > 1 and leaf.ndim >= 1:
+            if layer.endswith("_1") or layer.startswith("conv"):
+                if leafname == "kernel" and leaf.shape[-1] % tp == 0:
+                    spec = P(None, None, "tp")
+                elif leafname == "bias" and leaf.shape[0] % tp == 0:
+                    spec = P("tp")
+            elif layer.endswith("_2") or layer in ("final", "bottle1", "bottle2"):
+                if leafname == "kernel" and leaf.shape[-2] % tp == 0:
+                    spec = P(None, "tp", None)
+        return NamedSharding(mesh, spec)
+
+    return jax.tree_util.tree_map_with_path(rule, params)
+
+
+def full_unet_layer_names(levels: int = 5) -> List[str]:
+    """Reference export ordering (export/generator/metadata.json)."""
+    names = []
+    for i in range(levels):
+        names += [f"enc{i+1}_1", f"enc{i+1}_2"]
+    names += ["bottle1", "bottle2"]
+    for i in range(levels):
+        names += [f"dec{i+1}_1", f"dec{i+1}_2"]
+    names += ["final"]
+    return names

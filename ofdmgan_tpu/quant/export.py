@@ -189,3 +189,25 @@ def export_discriminator(params, output_dir: str, **kw) -> Dict[str, Any]:
     """New capability vs the reference (which never exports the critic —
     export_mini_weights.py:147-162 uses random placeholders)."""
     return export_weights(discriminator_layers(params), output_dir, **kw)
+
+
+def full_unet_layers(params, levels: int = 5) -> List[LayerSpec]:
+    """FullUNetGenerator params -> reference-ordered layer specs with the
+    reference's export names (enc1_1 ... final, export/generator/
+    metadata.json)."""
+    from ..models.full_unet import full_unet_layer_names
+
+    flat = _flatten_params(params)
+    specs = []
+    for name in full_unet_layer_names(levels):
+        w = np.transpose(flat[(name, "kernel")], (2, 1, 0))
+        b = flat[(name, "bias")]
+        stride = 2 if name.startswith("enc") and name.endswith("_1") else 1
+        specs.append(LayerSpec(name, "Conv1d", w, b, stride=stride, padding=1))
+    return specs
+
+
+def export_full_unet(params, output_dir: str, levels: int = 5, **kw) -> Dict[str, Any]:
+    """Reference-format export of the full 1024-sample U-Net — produces the
+    same file set as the checked-in export/generator/ directory."""
+    return export_weights(full_unet_layers(params, levels), output_dir, **kw)
