@@ -30,9 +30,6 @@ from typing import Any, Dict, List, NamedTuple
 
 import numpy as np
 
-from .qformat import compute_scale, quantize
-
-
 class LayerSpec(NamedTuple):
     name: str          # reference-style dotted name
     kind: str          # "Conv1d" | "Linear"
@@ -94,12 +91,21 @@ def crc32_hex(data: bytes) -> str:
 
 
 def quantize_layer_int8(weight: np.ndarray, weight_bits: int = 8, per_channel: bool = True):
-    """Per-out-channel int8 quantization (quantization.py:319-335)."""
-    import jax.numpy as jnp
+    """Per-out-channel int8 quantization (quantization.py:319-335).
 
-    scale = compute_scale(jnp.asarray(weight), weight_bits, per_channel, channel_axis=0)
-    q = quantize(jnp.asarray(weight), scale, weight_bits)
-    return np.asarray(q).astype(np.int8), np.asarray(scale).squeeze()
+    Pure numpy on purpose: export is a host-side path and must not issue
+    eager ops on an accelerator backend (eager dispatch on the remote-compile
+    TPU backend stalls)."""
+    w = np.asarray(weight)
+    max_q = 2 ** (weight_bits - 1) - 1
+    if per_channel:
+        axes = tuple(range(1, w.ndim))
+        abs_max = np.abs(w).max(axis=axes, keepdims=True)
+    else:
+        abs_max = np.abs(w).max()
+    scale = np.maximum(abs_max, 1e-8) / max_q
+    q = np.clip(np.round(w / scale), -(max_q + 1), max_q)
+    return q.astype(np.int8), np.asarray(scale, np.float32).squeeze()
 
 
 def export_weights(

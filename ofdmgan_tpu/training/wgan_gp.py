@@ -119,6 +119,7 @@ def build_train_step(
     scan_steps: int = 1,
     axis_name: str | None = None,
     matmul_precision: str = "float32",
+    use_pallas_datagen: bool = False,
 ) -> Callable[[TrainState, jax.Array], Tuple[TrainState, dict]]:
     """Build the (unjitted) fused outer step ``(state, key) -> (state, metrics)``.
 
@@ -141,9 +142,23 @@ def build_train_step(
             return t
         return jax.lax.pmean(t, axis_name)
 
+    if use_pallas_datagen:
+        if dg_cfg.nonlinear or dg_cfg.channel.kind != "awgn" or dg_cfg.frame_length != 16:
+            raise ValueError(
+                "pallas datagen kernel covers the linear-AWGN 16-sample config; "
+                "use the XLA path for other configurations"
+            )
+        from ..ops.pallas_datagen import synthetic_batch_pallas
+
+        def gen_batch(k, n):
+            return synthetic_batch_pallas(k, n, dg_cfg.snr_min, dg_cfg.snr_max)
+    else:
+        def gen_batch(k, n):
+            return synthetic_batch(k, n, dg_cfg)
+
     def one_step(state: TrainState, key: jax.Array):
         k_data, k_crit, k_gen = jax.random.split(key, 3)
-        batch0 = synthetic_batch(k_data, batch_size, dg_cfg)
+        batch0 = gen_batch(k_data, batch_size)
         # (the whole body below is traced under the matmul-precision context
         # installed by the step_fn wrapper at the bottom of this builder)
 
@@ -151,7 +166,7 @@ def build_train_step(
             params_d, opt_d = carry
             if loss_cfg.fresh_critic_batches:
                 k_b, k_gp = jax.random.split(k)
-                batch = synthetic_batch(k_b, batch_size, dg_cfg)
+                batch = gen_batch(k_b, batch_size)
             else:
                 batch, k_gp = batch0, k
             (loss, aux), grads = jax.value_and_grad(critic_loss_fn, has_aux=True)(
@@ -209,11 +224,13 @@ def make_train_step(
     scan_steps: int = 1,
     donate: bool = True,
     matmul_precision: str = "float32",
+    use_pallas_datagen: bool = False,
 ) -> Callable[[TrainState, jax.Array], Tuple[TrainState, dict]]:
     """Single-device jitted fused train step (see ``build_train_step``)."""
     step_fn = build_train_step(
         gen_apply, critic_apply, tx_g, tx_d, dg_cfg, loss_cfg, batch_size,
         scan_steps, matmul_precision=matmul_precision,
+        use_pallas_datagen=use_pallas_datagen,
     )
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
