@@ -25,6 +25,10 @@ def main():
     parser.add_argument("--nonlinear", action="store_true",
                         help="run ONLY the nonlinear sweep (default: both)")
     parser.add_argument("--pa_saturation", type=float, default=0.8)
+    parser.add_argument("--normalization", choices=["independent", "joint"],
+                        default="independent",
+                        help="independent = the reference's protocol; joint = "
+                             "the training protocol (shared noisy/clean scale)")
     parser.add_argument("--output_dir", type=str, default="./benchmark_results")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--platform", type=str, default=None)
@@ -62,7 +66,8 @@ def main():
     print(f"Generator parameters: {count_parameters(params_g):,}")
 
     kw = dict(n_trials=args.n_trials, frame_length=args.frame_length,
-              snr_values=snr_values, seed=args.seed)
+              snr_values=snr_values, seed=args.seed,
+              normalization=args.normalization)
 
     results_nl = None
     if not args.nonlinear:

@@ -44,7 +44,7 @@ def _normalize_each(iq: jnp.ndarray) -> jnp.ndarray:
 
 
 @partial(jax.jit, static_argnames=("n_trials", "frame_length", "channel_type",
-                                   "nonlinear", "gen_apply"))
+                                   "nonlinear", "gen_apply", "normalization"))
 def _one_snr_batch(
     key: jax.Array,
     params_g,
@@ -55,6 +55,7 @@ def _one_snr_batch(
     nonlinear: bool,
     pa_saturation: float,
     gen_apply: Optional[Callable],
+    normalization: str = "independent",
 ):
     """All trials at one SNR as a single fused computation.
     Returns per-method (mse[n_trials], evm[n_trials])."""
@@ -76,8 +77,20 @@ def _one_snr_batch(
         k_ch, distorted, snr_db, channel_lib.ChannelConfig(channel_type)
     )
 
-    clean_iq = _normalize_each(complex_to_iq(clean_c).astype(jnp.float32))
-    noisy_iq = _normalize_each(complex_to_iq(noisy_c).astype(jnp.float32))
+    if normalization == "joint":
+        # the TRAINING protocol's joint normalization (utils/dataset.py:284);
+        # matches what the GAN was conditioned on
+        from ..utils.iq import joint_max_normalize
+
+        noisy_iq, clean_iq = joint_max_normalize(
+            complex_to_iq(noisy_c).astype(jnp.float32),
+            complex_to_iq(clean_c).astype(jnp.float32),
+        )
+    else:
+        # the reference benchmark's INDEPENDENT normalization
+        # (benchmark_comparison.py:129-134,196-197)
+        clean_iq = _normalize_each(complex_to_iq(clean_c).astype(jnp.float32))
+        noisy_iq = _normalize_each(complex_to_iq(noisy_c).astype(jnp.float32))
 
     results = {}
 
@@ -108,9 +121,11 @@ def run_benchmark(
     nonlinear: bool = False,
     pa_saturation: float = 1.0,
     seed: int = 0,
+    normalization: str = "independent",
 ) -> Dict[str, Dict[float, Dict[str, float]]]:
     """SNR sweep -> method -> snr -> {mse, mse_std, evm, evm_std}
-    (benchmark_comparison.py:149-261)."""
+    (benchmark_comparison.py:149-261). ``normalization``: "independent"
+    (the reference's protocol) or "joint" (the training protocol)."""
     methods = METHODS if gen_apply is not None else [m for m in METHODS if m != "GAN"]
     out = {m: {} for m in methods}
     print(f"\nRunning benchmark: {n_trials} trials x {len(snr_values)} SNR values")
@@ -121,7 +136,7 @@ def run_benchmark(
         key = jax.random.fold_in(jax.random.PRNGKey(seed), i)
         res = _one_snr_batch(
             key, params_g, jnp.float32(snr), n_trials, frame_length,
-            channel_type, nonlinear, pa_saturation, gen_apply,
+            channel_type, nonlinear, pa_saturation, gen_apply, normalization,
         )
         for m in methods:
             ms, es = np.asarray(res[m][0]), np.asarray(res[m][1])

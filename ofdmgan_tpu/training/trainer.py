@@ -115,6 +115,11 @@ class Trainer:
         self.logger: Optional[MetricsLogger] = None
         self._key = jax.random.PRNGKey(seed + 1)
         self._ckptr = ocp.PyTreeCheckpointer()
+        # failure detection (SURVEY.md §5.3 role): what to do when training
+        # metrics go non-finite. "restore_best" reloads the best checkpoint
+        # and stops; "raise" raises; "ignore" continues.
+        self.nan_policy = "restore_best"
+        self._last_best_path: Optional[str] = None
 
     # ------------------------------------------------------------------ utils
     def _next_key(self):
@@ -127,6 +132,19 @@ class Trainer:
         for _ in range(self.steps_per_epoch // self.scan_steps):
             self.state, metrics = self._step(self.state, self._next_key())
         return {k: float(v) for k, v in metrics.items()}
+
+    def profile_steps(self, n_chunks: int = 2, trace_dir: Optional[str] = None) -> str:
+        """Capture a JAX profiler trace of ``n_chunks`` fused step dispatches
+        (the rebuild's profiling hook, SURVEY.md §5.1). View with
+        TensorBoard's profile plugin or xprof."""
+        trace_dir = trace_dir or str(
+            (self.logger.dir if self.logger else Path(self.tp["log_dir"])) / "profile"
+        )
+        with jax.profiler.trace(trace_dir):
+            for _ in range(n_chunks):
+                self.state, _ = self._step(self.state, self._next_key())
+            jax.block_until_ready(self.state)
+        return trace_dir
 
     def validate(self) -> Dict[str, float]:
         totals = {"rec_loss": 0.0, "mse": 0.0}
@@ -155,6 +173,7 @@ class Trainer:
             if best.exists():
                 shutil.rmtree(best)
             shutil.copytree(path, best)
+            self._last_best_path = str(best)
 
     def load_checkpoint(self, path: str):
         """Resume everything incl. optimizer/schedule state (train.py:432-445)."""
@@ -185,6 +204,18 @@ class Trainer:
         for epoch in range(self.current_epoch, epochs):
             self.current_epoch = epoch
             tm = self.train_epoch(epoch)
+            if not all(np.isfinite(v) for v in tm.values()):
+                msg = f"non-finite training metrics at epoch {epoch}: {tm}"
+                if self.nan_policy == "raise":
+                    raise FloatingPointError(msg)
+                print(f"FAILURE DETECTED: {msg}")
+                if self.nan_policy == "restore_best" and self._last_best_path:
+                    print(f"Restoring best checkpoint {self._last_best_path} and stopping.")
+                    self.load_checkpoint(self._last_best_path)
+                    break
+                if self.nan_policy == "restore_best":
+                    print("No best checkpoint yet; stopping.")
+                    break
             vm = self.validate()
             step = int(jax.device_get(self.state.step))
             self.logger.log_scalars("train", {

@@ -42,6 +42,10 @@ def main():
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--platform", type=str, default=None,
                         help="force a jax platform (e.g. cpu) before backend init")
+    parser.add_argument("--profile", type=int, default=0, metavar="N",
+                        help="capture a JAX profiler trace of N step dispatches before training")
+    parser.add_argument("--nan_policy", choices=["restore_best", "raise", "ignore"],
+                        default="restore_best")
     args = parser.parse_args()
 
     if args.platform:
@@ -111,9 +115,15 @@ def main():
     print(f"Generator parameters: {count_parameters(trainer.state.params_g):,}")
     print(f"Discriminator parameters: {count_parameters(trainer.state.params_d):,}")
 
+    trainer.nan_policy = args.nan_policy
+
     if args.resume:
         print(f"Resuming from {args.resume}")
         trainer.load_checkpoint(args.resume)
+
+    if args.profile:
+        path = trainer.profile_steps(args.profile)
+        print(f"Profiler trace written to {path}")
 
     trainer.train(experiment_name=args.experiment, export_after=not args.skip_export)
 
