@@ -1,0 +1,139 @@
+"""Module self-verification runner: ``python -m ofdmgan_tpu.selfcheck``.
+
+The reference makes every library module executable with a self-verifying
+``__main__`` block (SURVEY.md §4.2). Here those checks are centralized: one
+command exercises each subsystem end-to-end on the current backend and
+prints PASS/FAIL per module. Exit code 0 iff everything passed.
+"""
+
+from __future__ import annotations
+
+import sys
+import traceback
+
+
+def _check_signal():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .signal import DatagenConfig, OFDMSpec, ofdm, qam, synthetic_batch
+
+    key = jax.random.PRNGKey(0)
+    bits = jax.random.bernoulli(key, 0.5, (120,)).astype(jnp.int32)
+
+    @jax.jit
+    def roundtrip(bits):
+        spec = OFDMSpec(n_subcarriers=16, cp_length=4, pilot_spacing=4)
+        syms = qam.modulate(bits, "QAM16")
+        sig = ofdm.modulate(syms, spec)
+        data, _ = ofdm.demodulate(sig, spec)
+        return jnp.mean((qam.demodulate(data[: syms.shape[-1]], "QAM16") != bits) * 1.0)
+
+    assert float(roundtrip(bits)) == 0.0, "QAM/OFDM roundtrip BER != 0"
+    out = jax.jit(lambda k: synthetic_batch(k, 256, DatagenConfig.make()))(key)
+    assert out["noisy"].shape == (256, 16, 2)
+    assert np.isfinite(np.asarray(out["noisy"])).all()
+
+
+def _check_models():
+    import jax
+    import jax.numpy as jnp
+
+    from .models import MiniDiscriminator, MiniGenerator, count_parameters
+
+    key = jax.random.PRNGKey(0)
+    x = jnp.zeros((2, 16, 2))
+    g, d = MiniGenerator(), MiniDiscriminator()
+    pg, pd = g.init(key, x), d.init(key, x, x)
+    assert count_parameters(pg) == 258 and count_parameters(pd) == 521
+    assert jax.jit(g.apply)(pg, x).shape == (2, 16, 2)
+    assert jax.jit(d.apply)(pd, x, x).shape == (2, 1)
+
+
+def _check_training():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .models import MiniDiscriminator, MiniGenerator
+    from .signal import DatagenConfig
+    from .training import LossConfig, TrainState, make_adam, make_train_step
+
+    key = jax.random.PRNGKey(0)
+    x = jnp.zeros((1, 16, 2))
+    g, d = MiniGenerator(), MiniDiscriminator()
+    tx_g, tx_d = make_adam(1e-4), make_adam(1e-4)
+    state = TrainState.create(g.init(key, x), d.init(key, x, x), tx_g, tx_d)
+    step = make_train_step(g.apply, d.apply, tx_g, tx_d, DatagenConfig.make(),
+                           LossConfig(n_critic=2), 64, donate=False)
+    _, m = step(state, key)
+    assert all(np.isfinite(float(v)) for v in m.values())
+
+
+def _check_quant():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .models import MiniGenerator
+    from .quant import intsim
+
+    params = jax.device_get(MiniGenerator().init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 2))))
+    ip = intsim.quantize_weights_rtl(params, "generator")
+    y = intsim.generator_int_forward(
+        ip, intsim.float_to_q88(jnp.ones((1, 16, 2)) * 0.3), "rtl"
+    )
+    assert int(jnp.abs(y).max()) <= 256
+
+
+def _check_equalizers():
+    import numpy as np
+    import jax.numpy as jnp
+
+    from .eval import compare_equalizers
+    from .utils.iq import complex_to_iq
+
+    rng = np.random.default_rng(0)
+    clean = (rng.choice([-1, 1], 64) + 1j * rng.choice([-1, 1], 64)) / np.sqrt(2)
+    noisy = clean + 0.1 * (rng.standard_normal(64) + 1j * rng.standard_normal(64))
+    res = compare_equalizers(
+        jnp.asarray(complex_to_iq(jnp.asarray(noisy.astype(np.complex64)))),
+        jnp.asarray(complex_to_iq(jnp.asarray(clean.astype(np.complex64)))),
+    )
+    assert set(res) == {"ZF", "MMSE", "DFE", "LMS", "RLS"}
+
+
+def _check_cosim():
+    from .verify import cosim
+
+    if not cosim.available():
+        raise RuntimeError("native fixsim build failed")
+
+
+CHECKS = {
+    "signal": _check_signal,
+    "models": _check_models,
+    "training": _check_training,
+    "quant": _check_quant,
+    "equalizers": _check_equalizers,
+    "native-cosim": _check_cosim,
+}
+
+
+def main() -> int:
+    ok = True
+    for name, fn in CHECKS.items():
+        try:
+            fn()
+            print(f"  [PASS] {name}")
+        except Exception:
+            ok = False
+            print(f"  [FAIL] {name}")
+            traceback.print_exc()
+    print("ALL PASSED" if ok else "FAILURES PRESENT")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -157,7 +157,9 @@ def build_train_step(
             return synthetic_batch(k, n, dg_cfg)
 
     def one_step(state: TrainState, key: jax.Array):
-        k_data, k_crit, k_gen = jax.random.split(key, 3)
+        # 3-way split kept (third stream reserved) so existing run RNG
+        # trajectories stay reproducible
+        k_data, k_crit, _ = jax.random.split(key, 3)
         batch0 = gen_batch(k_data, batch_size)
         # (the whole body below is traced under the matmul-precision context
         # installed by the step_fn wrapper at the bottom of this builder)
