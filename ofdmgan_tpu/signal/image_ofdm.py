@@ -143,10 +143,13 @@ class ImageOFDMDataset:
         if not self.image_files:
             raise FileNotFoundError(f"no images under {image_dir}")
         cleans, factors = [], []
-        for p in self.image_files:
-            iq, meta = image_to_ofdm(load_image(str(p)), self.cfg)
-            cleans.append(iq)
-            factors.append(meta["normalization_factor"])
+        # per-image conversion is a host-side preprocessing pass — pin it to
+        # the CPU backend (eager dispatch on the TPU backend stalls)
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            for p in self.image_files:
+                iq, meta = image_to_ofdm(load_image(str(p)), self.cfg)
+                cleans.append(np.asarray(iq))
+                factors.append(meta["normalization_factor"])
         self._clean = jnp.asarray(np.stack(cleans))          # [n_img, L, 2]
         self._factors = jnp.asarray(np.asarray(factors, np.float32))
 

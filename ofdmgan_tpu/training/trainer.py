@@ -44,6 +44,9 @@ class Trainer:
         scan_steps: int = 0,
         data_parallel: int = 0,
         seed: int = 0,
+        image_dir: Optional[str] = None,
+        samples_per_image: int = 10,
+        use_pallas_datagen: bool = False,
     ):
         self.config = config or {}
         self.tp = training_params_from(self.config)
@@ -89,6 +92,27 @@ class Trainer:
         params_d = self.discriminator.init(key, x0, x0)
         self.state = TrainState.create(params_g, params_d, self.tx_g, self.tx_d)
 
+        # image-backed data (the reference's OFDMDataset path): clean frames
+        # derived from images, channel simulation on device (train.py:642-652)
+        batch_fn = None
+        if image_dir:
+            from ..signal.image_ofdm import ImageOFDMDataset
+
+            ofdm_cfg = self.config.get("ofdm", {})
+            self.image_dataset = ImageOFDMDataset(
+                image_dir,
+                frame_length=frame_length,
+                modulation=ofdm_cfg.get("modulation", "QPSK"),
+                n_subcarriers=ofdm_cfg.get("num_subcarriers", 8),
+                cp_length=ofdm_cfg.get("cp_length", 2),
+                snr_range=(self.dg_cfg.snr_min, self.dg_cfg.snr_max),
+                channel_type=self.dg_cfg.channel.kind,
+                samples_per_image=samples_per_image,
+            )
+            batch_fn = self.image_dataset.sample_batch
+            print(f"Image dataset: {len(self.image_dataset.image_files)} images "
+                  f"from {image_dir}")
+
         self.mesh = None
         n_dev = len(jax.devices())
         if data_parallel == 0:
@@ -102,13 +126,36 @@ class Trainer:
                 global_batch_size=self.batch_size, mesh=self.mesh,
                 scan_steps=self.scan_steps,
             )
+            if batch_fn is not None:
+                raise NotImplementedError(
+                    "image-dataset training is single-device in this version; "
+                    "use --dp 1"
+                )
         else:
             self._step = make_train_step(
                 self.generator.apply, self.discriminator.apply,
                 self.tx_g, self.tx_d, self.dg_cfg, self.loss_cfg,
                 batch_size=self.batch_size, scan_steps=self.scan_steps,
+                use_pallas_datagen=use_pallas_datagen, batch_fn=batch_fn,
             )
-        self._eval = make_eval_step(self.generator.apply, self.dg_cfg, self.batch_size)
+        if batch_fn is not None:
+            gen_apply = self.generator.apply
+            bsz = self.batch_size
+
+            @jax.jit
+            def _image_eval(params_g, key):
+                import jax.numpy as jnp
+
+                batch = batch_fn(key, bsz)
+                fake = gen_apply(params_g, batch["noisy"])
+                return {
+                    "rec_loss": jnp.mean(jnp.abs(fake - batch["clean"])),
+                    "mse": jnp.mean((fake - batch["clean"]) ** 2),
+                }
+
+            self._eval = _image_eval
+        else:
+            self._eval = make_eval_step(self.generator.apply, self.dg_cfg, self.batch_size)
 
         self.current_epoch = 0
         self.best_val_loss = float("inf")

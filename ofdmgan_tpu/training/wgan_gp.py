@@ -120,8 +120,12 @@ def build_train_step(
     axis_name: str | None = None,
     matmul_precision: str = "float32",
     use_pallas_datagen: bool = False,
+    batch_fn: Callable | None = None,
 ) -> Callable[[TrainState, jax.Array], Tuple[TrainState, dict]]:
     """Build the (unjitted) fused outer step ``(state, key) -> (state, metrics)``.
+
+    ``batch_fn(key, n) -> {"noisy", "clean", ...}`` overrides the synthetic
+    datagen entirely (e.g. the image-backed dataset's ``sample_batch``).
 
     ``batch_size`` is per replica. When ``axis_name`` is given (shard_map
     data parallelism, see parallel/mesh.py) gradients and metrics are
@@ -142,7 +146,9 @@ def build_train_step(
             return t
         return jax.lax.pmean(t, axis_name)
 
-    if use_pallas_datagen:
+    if batch_fn is not None:
+        gen_batch = batch_fn
+    elif use_pallas_datagen:
         if dg_cfg.nonlinear or dg_cfg.channel.kind != "awgn" or dg_cfg.frame_length != 16:
             raise ValueError(
                 "pallas datagen kernel covers the linear-AWGN 16-sample config; "
@@ -227,12 +233,13 @@ def make_train_step(
     donate: bool = True,
     matmul_precision: str = "float32",
     use_pallas_datagen: bool = False,
+    batch_fn: Callable | None = None,
 ) -> Callable[[TrainState, jax.Array], Tuple[TrainState, dict]]:
     """Single-device jitted fused train step (see ``build_train_step``)."""
     step_fn = build_train_step(
         gen_apply, critic_apply, tx_g, tx_d, dg_cfg, loss_cfg, batch_size,
         scan_steps, matmul_precision=matmul_precision,
-        use_pallas_datagen=use_pallas_datagen,
+        use_pallas_datagen=use_pallas_datagen, batch_fn=batch_fn,
     )
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 

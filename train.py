@@ -46,6 +46,8 @@ def main():
                         help="capture a JAX profiler trace of N step dispatches before training")
     parser.add_argument("--nan_policy", choices=["restore_best", "raise", "ignore"],
                         default="restore_best")
+    parser.add_argument("--pallas_datagen", action="store_true",
+                        help="use the fused Pallas datagen kernel (linear-AWGN config)")
     args = parser.parse_args()
 
     if args.platform:
@@ -94,10 +96,9 @@ def main():
 
     tpu_cfg = config.get("tpu", {})
     if args.image_dir:
-        print(f"Image-dataset training from {args.image_dir} is handled by "
-              "ofdmgan_tpu.signal.image_ofdm (host decode + on-device channel); "
-              "see docs. Falling back to synthetic for the trainer CLI.")
-    print("Using synthetic OFDM dataset (fused on-device datagen)")
+        print(f"Using image-derived OFDM dataset from {args.image_dir}")
+    else:
+        print("Using synthetic OFDM dataset (fused on-device datagen)")
     if args.nonlinear:
         print(f"  Non-linear impairments ENABLED (PA sat={args.pa_saturation})")
 
@@ -109,6 +110,8 @@ def main():
         scan_steps=args.scan_steps if args.scan_steps is not None else tpu_cfg.get("scan_steps", 0),
         data_parallel=args.dp if args.dp is not None else tpu_cfg.get("data_parallel", 0),
         seed=args.seed,
+        image_dir=args.image_dir,
+        use_pallas_datagen=args.pallas_datagen,
     )
     from ofdmgan_tpu.models import count_parameters
 
