@@ -34,7 +34,7 @@ from ..utils.iq import complex_to_iq, iq_to_complex
 from . import equalizers as eq
 from .metrics import evm_db, mse
 
-METHODS = ["GAN", "ZF", "MMSE", "DFE", "LMS", "RLS", "NoEQ"]
+METHODS = ["GAN", "ZF", "MMSE", "Wiener", "DFE", "LMS", "RLS", "NoEQ"]
 
 
 def _normalize_each(iq: jnp.ndarray) -> jnp.ndarray:
@@ -103,6 +103,13 @@ def _one_snr_batch(
     if gen_apply is not None:
         add("GAN", gen_apply(params_g, noisy_iq))
     add("NoEQ", noisy_iq)
+    # Non-oracle baseline (extension over the reference): frame-wise Wiener
+    # shrinkage X̂ = SNR/(1+SNR)·Y using only the sweep's nominal SNR — the
+    # optimal LINEAR estimator for Gaussian frames in AWGN, with no access
+    # to the clean signal. Any GAN advantage over this row under nonlinear
+    # impairments is a genuine nonlinear-processing gain.
+    snr_lin = 10.0 ** (snr_db / 10.0)
+    add("Wiener", (snr_lin / (1.0 + snr_lin)) * noisy_iq)
     add("ZF", jax.vmap(lambda n, c: eq.zf_equalize_iq(n, c)[0])(noisy_iq, clean_iq))
     add("MMSE", jax.vmap(lambda n, c: eq.mmse_equalize_iq(n, c, snr_db)[0])(noisy_iq, clean_iq))
     add("DFE", jax.vmap(lambda n, c: eq.dfe_equalize_iq(n, c)[0])(noisy_iq, clean_iq))
@@ -150,7 +157,7 @@ def run_benchmark(
 
 def print_results_table(results, snr_values, title: str = ""):
     """MSE-in-dB table + improvement summary (benchmark_comparison.py:315-352)."""
-    methods = [m for m in ("GAN", "MMSE", "DFE", "RLS", "NoEQ") if m in results]
+    methods = [m for m in ("GAN", "MMSE", "Wiener", "DFE", "RLS", "NoEQ") if m in results]
     print(f"\n{'=' * 80}\n  {title}\n{'=' * 80}")
     header = f"{'SNR (dB)':<10}" + "".join(f"{m:>12}" for m in methods)
     print(header)
@@ -180,8 +187,8 @@ def plot_benchmark_results(results, snr_values, title_suffix: str = "", save_pat
     import matplotlib.pyplot as plt
 
     methods = [m for m in METHODS if m in results]
-    colors = dict(zip(METHODS, ["red", "blue", "green", "orange", "purple", "brown", "gray"]))
-    markers = dict(zip(METHODS, ["o", "s", "^", "v", "D", "p", "x"]))
+    colors = dict(zip(METHODS, ["red", "blue", "green", "teal", "orange", "purple", "brown", "gray"]))
+    markers = dict(zip(METHODS, ["o", "s", "^", "*", "v", "D", "p", "x"]))
 
     fig, axes = plt.subplots(1, 2, figsize=(14, 5))
     for ax, metric, ylabel in ((axes[0], "mse", "MSE (dB)"), (axes[1], "evm", "EVM (dB)")):

@@ -24,7 +24,9 @@ class TestBenchmark:
         g, p = _gen()
         snrs = [0.0, 15.0, 30.0]
         res = run_benchmark(g.apply, p, n_trials=16, snr_values=snrs)
-        assert set(res) == {"GAN", "ZF", "MMSE", "DFE", "LMS", "RLS", "NoEQ"}
+        assert set(res) == {"GAN", "ZF", "MMSE", "Wiener", "DFE", "LMS", "RLS", "NoEQ"}
+        # Wiener is the optimal linear AWGN estimator: must beat NoEQ
+        assert res["Wiener"][0.0]["mse"] < res["NoEQ"][0.0]["mse"]
         for m in res:
             for s in snrs:
                 assert {"mse", "mse_std", "evm", "evm_std"} <= set(res[m][s])
