@@ -4,3 +4,4 @@ from .mesh import (  # noqa: F401
     make_sharded_train_step,
     replicate_state,
 )
+from .gspmd import make_gspmd_train_step  # noqa: F401

@@ -1,0 +1,104 @@
+"""GSPMD (pjit) training: compiler-partitioned dp x tp CWGAN-GP step.
+
+The second of the framework's two multi-chip strategies (SURVEY.md §2.4):
+
+  * ``parallel/mesh.py`` — explicit shard_map data parallelism (manual
+    pmean collectives, per-device datagen keys);
+  * this module — jit + shardings (the pjit style): parameters carry
+    NamedShardings (tensor-parallel for the full U-Net via
+    ``models/full_unet.unet_param_shardings``), optimizer state inherits
+    them by sharding propagation, the on-device data batch is constrained
+    to the ``dp`` axis, and XLA GSPMD inserts every collective (gradient
+    all-reduce across dp, all-gathers/reduce-scatters for the
+    tp-partitioned matmuls) automatically.
+
+Use GSPMD when the model is large enough to shard (the 1024-sample U-Net
+family); use shard_map when you want explicit, auditable collectives (the
+mini model's pure-dp training).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..signal.datagen import DatagenConfig
+from ..training.wgan_gp import LossConfig, TrainState, build_train_step
+
+
+def make_gspmd_train_step(
+    gen_apply: Callable,
+    critic_apply: Callable,
+    tx_g: optax.GradientTransformation,
+    tx_d: optax.GradientTransformation,
+    dg_cfg: DatagenConfig,
+    loss_cfg: LossConfig,
+    global_batch_size: int,
+    mesh: Mesh,
+    gen_tp_rule: Callable | None = None,
+    critic_tp_rule: Callable | None = None,
+    scan_steps: int = 1,
+    donate: bool = True,
+) -> Tuple[Callable, Callable]:
+    """Build ``(make_state, step)``.
+
+    ``make_state(params_g, params_d) -> TrainState`` places the params under
+    the tensor-parallel rules (None = replicated) and initializes optimizer
+    state ON the mesh so its leaves inherit the parameter shardings by
+    propagation. ``step(state, key)`` is a plain ``jax.jit`` — it picks up
+    the shardings committed on the state and lets GSPMD partition the whole
+    fused train step; the generated batch is constrained to ``P('dp', ...)``.
+    """
+    replicated = NamedSharding(mesh, P())
+
+    def batch_fn(key, n):
+        from ..signal.datagen import synthetic_batch
+
+        batch = synthetic_batch(key, n, dg_cfg)
+        return jax.tree_util.tree_map(
+            lambda x: jax.lax.with_sharding_constraint(
+                x,
+                NamedSharding(mesh, P("dp", None, None) if x.ndim == 3 else P("dp")),
+            ),
+            batch,
+        )
+
+    inner = build_train_step(
+        gen_apply, critic_apply, tx_g, tx_d, dg_cfg, loss_cfg,
+        global_batch_size, scan_steps=scan_steps, batch_fn=batch_fn,
+    )
+
+    def _place(params, rule):
+        sh = (rule(params, mesh) if rule is not None
+              else jax.tree_util.tree_map(lambda _: replicated, params))
+        return jax.device_put(params, sh)
+
+    def _opt_on_mesh(tx, params, rule):
+        """Optimizer state with adam moments sharded like their params
+        (optax.tree_map_params maps over the params-like subtrees of the
+        state; everything else — counts — replicates)."""
+        sh = (rule(params, mesh) if rule is not None
+              else jax.tree_util.tree_map(lambda _: replicated, params))
+        state = tx.init(jax.device_get(params))
+        state_sh = optax.tree_map_params(
+            tx, lambda _leaf, s: s, state, sh,
+            transform_non_params=lambda _leaf: replicated,
+        )
+        return jax.device_put(state, state_sh)
+
+    def make_state(params_g, params_d) -> TrainState:
+        opt_g = _opt_on_mesh(tx_g, params_g, gen_tp_rule)
+        opt_d = _opt_on_mesh(tx_d, params_d, critic_tp_rule)
+        params_g = _place(params_g, gen_tp_rule)
+        params_d = _place(params_d, critic_tp_rule)
+        import jax.numpy as jnp
+
+        step0 = jax.device_put(jnp.zeros((), jnp.int32), replicated)
+        return TrainState(params_g=params_g, params_d=params_d,
+                          opt_g=opt_g, opt_d=opt_d, step=step0)
+
+    step = jax.jit(inner, donate_argnums=(0,) if donate else ())
+    return make_state, step

@@ -1,0 +1,93 @@
+"""GSPMD (pjit-style) sharded training tests on the virtual 8-device mesh:
+full U-Net dp x tp train step compiles, executes, keeps params sharded, and
+matches single-device numerics for the mini model."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ofdmgan_tpu.models import MiniDiscriminator, MiniGenerator
+from ofdmgan_tpu.models.full_unet import (
+    FullDiscriminator, FullUNetGenerator, unet_param_shardings,
+)
+from ofdmgan_tpu.parallel import make_mesh
+from ofdmgan_tpu.parallel.gspmd import make_gspmd_train_step
+from ofdmgan_tpu.signal import DatagenConfig
+from ofdmgan_tpu.training import LossConfig, make_adam
+
+KEY = jax.random.PRNGKey(0)
+
+
+class TestGSPMD:
+    def test_full_unet_dp_tp_train_step(self):
+        mesh = make_mesh({"dp": 4, "tp": 2})
+        gen = FullUNetGenerator(frame_length=64, levels=3, base_channels=8)
+        critic = FullDiscriminator(frame_length=64, levels=3, base_channels=8)
+        x0 = jnp.zeros((1, 64, 2))
+        pg = gen.init(KEY, x0)
+        pd = critic.init(KEY, x0, x0)
+        tx_g, tx_d = make_adam(1e-4), make_adam(1e-4)
+        make_state, step = make_gspmd_train_step(
+            gen.apply, critic.apply, tx_g, tx_d,
+            DatagenConfig.make(frame_length=64),
+            LossConfig(n_critic=2),
+            global_batch_size=16, mesh=mesh,
+            gen_tp_rule=unet_param_shardings, donate=False,
+        )
+        state = make_state(pg, pd)
+        # params actually tp-sharded
+        import flax
+
+        specs = flax.traverse_util.flatten_dict(
+            jax.tree_util.tree_map(lambda a: a.sharding.spec, state.params_g)["params"]
+        )
+        assert any("tp" in str(s) for s in specs.values())
+        # optimizer moments inherited the shardings
+        mu_leaves = jax.tree_util.tree_leaves(
+            jax.tree_util.tree_map(lambda a: str(a.sharding.spec), state.opt_g)
+        )
+        assert any("tp" in s for s in mu_leaves)
+
+        new_state, metrics = step(state, jax.random.PRNGKey(1))
+        jax.block_until_ready(new_state)
+        assert int(jax.device_get(new_state.step)) == 1
+        for k in ("d_loss", "g_loss", "rec_loss"):
+            assert np.isfinite(float(jax.device_get(metrics[k]))), k
+        # params remain sharded after the update
+        specs2 = flax.traverse_util.flatten_dict(
+            jax.tree_util.tree_map(lambda a: a.sharding.spec, new_state.params_g)["params"]
+        )
+        assert any("tp" in str(s) for s in specs2.values())
+
+    def test_mini_model_gspmd_matches_single_device(self):
+        # replicated-params GSPMD dp run must equal the plain single-device
+        # step given the same key (same global batch from the same key).
+        from ofdmgan_tpu.training import TrainState, make_train_step
+
+        mesh = make_mesh({"dp": 8})
+        gen, critic = MiniGenerator(), MiniDiscriminator()
+        x0 = jnp.zeros((1, 16, 2))
+        pg = gen.init(KEY, x0)
+        pd = critic.init(KEY, x0, x0)
+        tx_g, tx_d = make_adam(1e-4), make_adam(1e-4)
+        dg = DatagenConfig.make()
+        loss = LossConfig(n_critic=2)
+
+        make_state, gstep = make_gspmd_train_step(
+            gen.apply, critic.apply, tx_g, tx_d, dg, loss,
+            global_batch_size=64, mesh=mesh, donate=False,
+        )
+        s_sharded = make_state(pg, pd)
+        s_plain = TrainState.create(pg, pd, tx_g, tx_d)
+        pstep = make_train_step(gen.apply, critic.apply, tx_g, tx_d, dg, loss,
+                                64, donate=False)
+        k = jax.random.PRNGKey(9)
+        out_g, m_g = gstep(s_sharded, k)
+        out_p, m_p = pstep(s_plain, k)
+        np.testing.assert_allclose(
+            float(m_g["d_loss"]), float(m_p["d_loss"]), rtol=2e-4
+        )
+        a = jax.tree_util.tree_leaves(jax.device_get(out_g.params_g))[0]
+        b = jax.tree_util.tree_leaves(jax.device_get(out_p.params_g))[0]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
