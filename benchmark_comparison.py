@@ -25,6 +25,12 @@ def main():
     parser.add_argument("--nonlinear", action="store_true",
                         help="run ONLY the nonlinear sweep (default: both)")
     parser.add_argument("--pa_saturation", type=float, default=0.8)
+    parser.add_argument("--quantized", action="store_true",
+                        help="add a GAN-Q row: the Q1.7/Q8.8 fixed-point generator")
+    parser.add_argument("--int_mode", choices=["rtl", "float_ref"], default="rtl",
+                        help="fixed-point semantics for GAN-Q: 'rtl' reproduces the "
+                             "hardware's aggressive approximations; 'float_ref' is "
+                             "this framework's faithful-rounding integer design")
     parser.add_argument("--normalization", choices=["independent", "joint"],
                         default="independent",
                         help="independent = the reference's protocol; joint = "
@@ -67,7 +73,8 @@ def main():
 
     kw = dict(n_trials=args.n_trials, frame_length=args.frame_length,
               snr_values=snr_values, seed=args.seed,
-              normalization=args.normalization)
+              normalization=args.normalization, include_quantized=args.quantized,
+              int_mode=args.int_mode)
 
     results_nl = None
     if not args.nonlinear:

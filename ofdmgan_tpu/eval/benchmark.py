@@ -34,7 +34,7 @@ from ..utils.iq import complex_to_iq, iq_to_complex
 from . import equalizers as eq
 from .metrics import evm_db, mse
 
-METHODS = ["GAN", "ZF", "MMSE", "Wiener", "DFE", "LMS", "RLS", "NoEQ"]
+METHODS = ["GAN", "GAN-Q", "ZF", "MMSE", "Wiener", "DFE", "LMS", "RLS", "NoEQ"]
 
 
 def _normalize_each(iq: jnp.ndarray) -> jnp.ndarray:
@@ -44,7 +44,8 @@ def _normalize_each(iq: jnp.ndarray) -> jnp.ndarray:
 
 
 @partial(jax.jit, static_argnames=("n_trials", "frame_length", "channel_type",
-                                   "nonlinear", "gen_apply", "normalization"))
+                                   "nonlinear", "gen_apply", "normalization",
+                                   "int_mode"))
 def _one_snr_batch(
     key: jax.Array,
     params_g,
@@ -56,6 +57,8 @@ def _one_snr_batch(
     pa_saturation: float,
     gen_apply: Optional[Callable],
     normalization: str = "independent",
+    int_gen_params=None,
+    int_mode: str = "rtl",
 ):
     """All trials at one SNR as a single fused computation.
     Returns per-method (mse[n_trials], evm[n_trials])."""
@@ -102,6 +105,16 @@ def _one_snr_batch(
 
     if gen_apply is not None:
         add("GAN", gen_apply(params_g, noisy_iq))
+        if int_gen_params is not None:
+            # Q1.7/Q8.8 fixed-point generator (quant/intsim RTL semantics) —
+            # the deployed datapath's accuracy measured in the same sweep,
+            # something the reference could only probe via iverilog runs.
+            from ..quant import intsim
+
+            yq = intsim.generator_int_forward(
+                int_gen_params, intsim.float_to_q88(noisy_iq), int_mode
+            )
+            add("GAN-Q", intsim.q88_to_float(yq))
     add("NoEQ", noisy_iq)
     # Non-oracle baseline (extension over the reference): frame-wise Wiener
     # shrinkage X̂ = SNR/(1+SNR)·Y using only the sweep's nominal SNR — the
@@ -129,11 +142,22 @@ def run_benchmark(
     pa_saturation: float = 1.0,
     seed: int = 0,
     normalization: str = "independent",
+    include_quantized: bool = False,
+    int_mode: str = "rtl",
 ) -> Dict[str, Dict[float, Dict[str, float]]]:
     """SNR sweep -> method -> snr -> {mse, mse_std, evm, evm_std}
     (benchmark_comparison.py:149-261). ``normalization``: "independent"
     (the reference's protocol) or "joint" (the training protocol)."""
-    methods = METHODS if gen_apply is not None else [m for m in METHODS if m != "GAN"]
+    int_gen_params = None
+    if include_quantized and gen_apply is not None:
+        from ..quant import intsim
+
+        int_gen_params = intsim.quantize_weights_rtl(
+            jax.device_get(params_g), "generator"
+        )
+    methods = [m for m in METHODS
+               if (gen_apply is not None or m not in ("GAN", "GAN-Q"))
+               and (int_gen_params is not None or m != "GAN-Q")]
     out = {m: {} for m in methods}
     print(f"\nRunning benchmark: {n_trials} trials x {len(snr_values)} SNR values")
     print(f"Channel: {channel_type}, Non-linear: {nonlinear}")
@@ -144,6 +168,7 @@ def run_benchmark(
         res = _one_snr_batch(
             key, params_g, jnp.float32(snr), n_trials, frame_length,
             channel_type, nonlinear, pa_saturation, gen_apply, normalization,
+            int_gen_params, int_mode,
         )
         for m in methods:
             ms, es = np.asarray(res[m][0]), np.asarray(res[m][1])
@@ -157,7 +182,7 @@ def run_benchmark(
 
 def print_results_table(results, snr_values, title: str = ""):
     """MSE-in-dB table + improvement summary (benchmark_comparison.py:315-352)."""
-    methods = [m for m in ("GAN", "MMSE", "Wiener", "DFE", "RLS", "NoEQ") if m in results]
+    methods = [m for m in ("GAN", "GAN-Q", "MMSE", "Wiener", "DFE", "RLS", "NoEQ") if m in results]
     print(f"\n{'=' * 80}\n  {title}\n{'=' * 80}")
     header = f"{'SNR (dB)':<10}" + "".join(f"{m:>12}" for m in methods)
     print(header)
@@ -187,8 +212,8 @@ def plot_benchmark_results(results, snr_values, title_suffix: str = "", save_pat
     import matplotlib.pyplot as plt
 
     methods = [m for m in METHODS if m in results]
-    colors = dict(zip(METHODS, ["red", "blue", "green", "teal", "orange", "purple", "brown", "gray"]))
-    markers = dict(zip(METHODS, ["o", "s", "^", "*", "v", "D", "p", "x"]))
+    colors = dict(zip(METHODS, ["red", "darkred", "blue", "green", "teal", "orange", "purple", "brown", "gray"]))
+    markers = dict(zip(METHODS, ["o", "h", "s", "^", "*", "v", "D", "p", "x"]))
 
     fig, axes = plt.subplots(1, 2, figsize=(14, 5))
     for ax, metric, ylabel in ((axes[0], "mse", "MSE (dB)"), (axes[1], "evm", "EVM (dB)")):
