@@ -21,6 +21,7 @@ from __future__ import annotations
 from typing import Any, Dict, List
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 from jax.nn import leaky_relu
 
@@ -39,6 +40,7 @@ class ConvBlock(nn.Module):
     padding: int = 1
     leaky_slope: float = 0.2
     use_matmul: bool = True
+    qat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -50,8 +52,26 @@ class ConvBlock(nn.Module):
             self.stride,
             self.padding,
             self.use_matmul,
+            qat=self.qat,
         )
         return leaky_relu(y, negative_slope=self.leaky_slope)
+
+
+def q17_ste(w: jnp.ndarray) -> jnp.ndarray:
+    """Q1.7 straight-through fake-quantization for QAT: clip to the
+    representable range [-1, 127/128] and round to 1/128 steps in the
+    forward pass, identity gradient. Training under this constraint makes
+    the exported Q1.7 weight ROM faithful to the float model (without it,
+    trained kernels exceed +-1 and the ROM clips them — see
+    results/RESULTS.md)."""
+    q = jnp.clip(jnp.round(w * 128.0), -128, 127) / 128.0
+    return w + jax.lax.stop_gradient(q - w)
+
+
+def q88_ste(x: jnp.ndarray) -> jnp.ndarray:
+    """Q8.8 straight-through activation quantization (1/256 steps)."""
+    q = jnp.clip(jnp.round(x * 256.0), -32768, 32767) / 256.0
+    return x + jax.lax.stop_gradient(q - x)
 
 
 def conv1d(
@@ -63,16 +83,24 @@ def conv1d(
     padding: int,
     use_matmul: bool,
     name: str = "conv",
+    qat: bool = False,
 ) -> jnp.ndarray:
     """Parameter-compatible conv1d with two lowerings.
 
     Parameters are always stored in flax's native ``[K, C_in, C_out]``
-    kernel layout so checkpoints are lowering-agnostic.
+    kernel layout so checkpoints are lowering-agnostic. ``qat=True``
+    applies Q1.7 weight / Q8.8 bias+activation fake quantization (STE).
     """
     if use_matmul:
         w = module.param(f"{name}_kernel", _XAVIER, (kernel, x.shape[-1], features))
         b = module.param(f"{name}_bias", _ZEROS, (features,))
+        if qat:
+            x = q88_ste(x)
+            w = q17_ste(w)
+            b = q88_ste(b)
         return conv1d_via_matmul(x, w, b, stride, padding)
+    if qat:
+        raise NotImplementedError("QAT requires the matmul lowering")
     return nn.Conv(
         features=features,
         kernel_size=(kernel,),
@@ -100,11 +128,13 @@ class MiniGenerator(nn.Module):
     dec1_channels: int = 4
     leaky_slope: float = 0.2
     use_matmul: bool = True
+    qat: bool = False  # train under Q1.7/Q8.8 fake quantization
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         """``x``: noisy I/Q frames ``[B, L, C_in]`` -> enhanced ``[B, L, C_out]``."""
-        mk = dict(leaky_slope=self.leaky_slope, use_matmul=self.use_matmul)
+        mk = dict(leaky_slope=self.leaky_slope, use_matmul=self.use_matmul,
+                  qat=self.qat)
         enc1 = ConvBlock(self.enc1_channels, stride=2, name="enc1", **mk)(x)
         bneck = ConvBlock(self.bottleneck_channels, stride=2, name="bottleneck", **mk)(enc1)
         up1 = upsample_nearest_2x(bneck)
@@ -112,7 +142,8 @@ class MiniGenerator(nn.Module):
         skip = dec1 + enc1
         up2 = upsample_nearest_2x(skip)
         out = conv1d(
-            self, up2, self.output_channels, 3, 1, 1, self.use_matmul, name="out_conv"
+            self, up2, self.output_channels, 3, 1, 1, self.use_matmul,
+            name="out_conv", qat=self.qat,
         )
         return jnp.tanh(out)
 

@@ -47,6 +47,7 @@ class Trainer:
         image_dir: Optional[str] = None,
         samples_per_image: int = 10,
         use_pallas_datagen: bool = False,
+        qat: bool = False,
     ):
         self.config = config or {}
         self.tp = training_params_from(self.config)
@@ -72,6 +73,7 @@ class Trainer:
             bottleneck_channels=gcfg.get("bottleneck_channels", 8),
             dec1_channels=gcfg.get("dec1_channels", 4),
             leaky_slope=gcfg.get("leaky_slope", 0.2),
+            qat=qat,  # Q1.7/Q8.8 quantization-aware training
         )
         self.discriminator = MiniDiscriminator(
             frame_length=frame_length,

@@ -48,6 +48,10 @@ def main():
                         default="restore_best")
     parser.add_argument("--pallas_datagen", action="store_true",
                         help="use the fused Pallas datagen kernel (linear-AWGN config)")
+    parser.add_argument("--qat", action="store_true",
+                        help="quantization-aware training: Q1.7 weight / Q8.8 "
+                             "activation STE so the exported fixed-point ROM is "
+                             "faithful to the trained model")
     args = parser.parse_args()
 
     if args.platform:
@@ -112,6 +116,7 @@ def main():
         seed=args.seed,
         image_dir=args.image_dir,
         use_pallas_datagen=args.pallas_datagen,
+        qat=args.qat,
     )
     from ofdmgan_tpu.models import count_parameters
 
