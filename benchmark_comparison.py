@@ -25,6 +25,11 @@ def main():
     parser.add_argument("--nonlinear", action="store_true",
                         help="run ONLY the nonlinear sweep (default: both)")
     parser.add_argument("--pa_saturation", type=float, default=0.8)
+    parser.add_argument("--qat", action="store_true",
+                        help="the checkpoint was trained with --qat: evaluate the "
+                             "float rows with the QAT forward (STE quantization ops)")
+    parser.add_argument("--rtl_qat", action="store_true",
+                        help="the checkpoint was trained with --rtl_qat")
     parser.add_argument("--quantized", action="store_true",
                         help="add a GAN-Q row: the Q1.7/Q8.8 fixed-point generator")
     parser.add_argument("--int_mode", choices=["rtl", "float_ref"], default="rtl",
@@ -56,7 +61,9 @@ def main():
     out = Path(args.output_dir)
     out.mkdir(parents=True, exist_ok=True)
 
-    gen = MiniGenerator(frame_length=args.frame_length)
+    gen = MiniGenerator(frame_length=args.frame_length,
+                        qat=args.qat or args.rtl_qat,
+                        rtl_faithful=args.rtl_qat)
     if os.path.exists(args.checkpoint):
         import orbax.checkpoint as ocp
 

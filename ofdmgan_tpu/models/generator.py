@@ -129,11 +129,21 @@ class MiniGenerator(nn.Module):
     leaky_slope: float = 0.2
     use_matmul: bool = True
     qat: bool = False  # train under Q1.7/Q8.8 fake quantization
+    rtl_faithful: bool = False  # train against the RTL's exact op semantics
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        """``x``: noisy I/Q frames ``[B, L, C_in]`` -> enhanced ``[B, L, C_out]``."""
-        mk = dict(leaky_slope=self.leaky_slope, use_matmul=self.use_matmul,
+        """``x``: noisy I/Q frames ``[B, L, C_in]`` -> enhanced ``[B, L, C_out]``.
+
+        ``rtl_faithful=True`` swaps in the HARDWARE's op semantics so the
+        deployed RTL datapath is what gets trained (composes with ``qat``):
+        LeakyReLU slope 0.3125 (the RTL's (x>>>2)+(x>>>4),
+        generator_mini.v:359-361), center-tap-only output conv
+        (generator_mini.v:73), and tanh-as-clamp (generator_mini.v:630-648).
+        Parameter count stays 258 (the masked output-conv taps remain
+        parameters; the ROM never stores them)."""
+        slope = 0.3125 if self.rtl_faithful else self.leaky_slope
+        mk = dict(leaky_slope=slope, use_matmul=self.use_matmul,
                   qat=self.qat)
         enc1 = ConvBlock(self.enc1_channels, stride=2, name="enc1", **mk)(x)
         bneck = ConvBlock(self.bottleneck_channels, stride=2, name="bottleneck", **mk)(enc1)
@@ -141,6 +151,19 @@ class MiniGenerator(nn.Module):
         dec1 = ConvBlock(self.dec1_channels, stride=1, name="dec1", **mk)(up1)
         skip = dec1 + enc1
         up2 = upsample_nearest_2x(skip)
+        if self.rtl_faithful:
+            w = self.param("out_conv_kernel", _XAVIER, (3, self.dec1_channels, self.output_channels))
+            b = self.param("out_conv_bias", _ZEROS, (self.output_channels,))
+            mask = jnp.zeros((3, 1, 1)).at[1].set(1.0)  # center tap only
+            w = w * mask
+            if self.qat:
+                up2 = q88_ste(up2)
+                w = q17_ste(w)
+                b = q88_ste(b)
+            out = conv1d_via_matmul(up2, w, b, 1, 1)
+            # hardware tanh = clamp: >1 -> 255/256, < -1 -> -255/256
+            return jnp.where(out > 1.0, 255.0 / 256.0,
+                             jnp.where(out < -1.0, -255.0 / 256.0, out))
         out = conv1d(
             self, up2, self.output_channels, 3, 1, 1, self.use_matmul,
             name="out_conv", qat=self.qat,

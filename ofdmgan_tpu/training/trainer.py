@@ -48,6 +48,7 @@ class Trainer:
         samples_per_image: int = 10,
         use_pallas_datagen: bool = False,
         qat: bool = False,
+        rtl_faithful: bool = False,
     ):
         self.config = config or {}
         self.tp = training_params_from(self.config)
@@ -74,6 +75,7 @@ class Trainer:
             dec1_channels=gcfg.get("dec1_channels", 4),
             leaky_slope=gcfg.get("leaky_slope", 0.2),
             qat=qat,  # Q1.7/Q8.8 quantization-aware training
+            rtl_faithful=rtl_faithful,
         )
         self.discriminator = MiniDiscriminator(
             frame_length=frame_length,

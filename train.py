@@ -52,6 +52,11 @@ def main():
                         help="quantization-aware training: Q1.7 weight / Q8.8 "
                              "activation STE so the exported fixed-point ROM is "
                              "faithful to the trained model")
+    parser.add_argument("--rtl_qat", action="store_true",
+                        help="train against the RTL's exact op semantics (slope "
+                             "0.3125, clamp tanh, center-tap output conv) + QAT, "
+                             "making the deployed hardware datapath itself the "
+                             "trained function")
     args = parser.parse_args()
 
     if args.platform:
@@ -116,7 +121,8 @@ def main():
         seed=args.seed,
         image_dir=args.image_dir,
         use_pallas_datagen=args.pallas_datagen,
-        qat=args.qat,
+        qat=args.qat or args.rtl_qat,
+        rtl_faithful=args.rtl_qat,
     )
     from ofdmgan_tpu.models import count_parameters
 
