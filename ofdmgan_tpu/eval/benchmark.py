@@ -19,7 +19,6 @@ reference's per-trial Python loop.
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 from typing import Callable, Dict, List, Optional
 
@@ -30,7 +29,7 @@ import numpy as np
 from ..signal import channel as channel_lib
 from ..signal import impairments as imp_lib
 from ..signal.ofdm import ofdm_like_frame
-from ..utils.iq import complex_to_iq, iq_to_complex
+from ..utils.iq import complex_to_iq
 from . import equalizers as eq
 from .metrics import evm_db, mse
 

@@ -19,7 +19,7 @@ curves at matched BER.
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, Dict, List, Optional
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

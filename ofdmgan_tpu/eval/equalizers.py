@@ -24,7 +24,6 @@ reference API.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Dict, Tuple
 
 import jax

@@ -26,7 +26,7 @@ each level needs a single all-reduce which XLA GSPMD inserts automatically.
 
 from __future__ import annotations
 
-from typing import Any, List, Sequence
+from typing import Any, List
 
 import flax.linen as nn
 import jax

@@ -22,7 +22,6 @@ amortize launch overhead at small batch sizes.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Callable, Tuple
 
 import jax
