@@ -46,6 +46,9 @@ def main():
                         help="capture a JAX profiler trace of N step dispatches before training")
     parser.add_argument("--nan_policy", choices=["restore_best", "raise", "ignore"],
                         default="restore_best")
+    parser.add_argument("--debug_nans", action="store_true",
+                        help="enable jax_debug_nans (trap the first NaN-producing op; "
+                             "the framework's sanitizer knob, SURVEY.md 5.2)")
     parser.add_argument("--pallas_datagen", action="store_true",
                         help="use the fused Pallas datagen kernel (linear-AWGN config)")
     parser.add_argument("--qat", action="store_true",
@@ -59,10 +62,12 @@ def main():
                              "trained function")
     args = parser.parse_args()
 
-    if args.platform:
-        import jax
+    import jax
 
+    if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     from ofdmgan_tpu.config import load_config
 
