@@ -1,0 +1,86 @@
+"""CLI surface smoke tests: every entry point runs end-to-end on the CPU
+platform via subprocess (flag parsing, wiring, artifact emission). Slow-ish
+(~3 min) but guards the user-facing contract."""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+ENV = {**os.environ, "JAX_PLATFORMS": "cpu"}
+
+
+def run(args, cwd, timeout=420):
+    return subprocess.run(
+        [sys.executable, *args], cwd=cwd, env=ENV,
+        capture_output=True, text=True, timeout=timeout,
+    )
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    return tmp_path_factory.mktemp("cli")
+
+
+class TestCLIs:
+    def test_train_and_resume_and_export(self, workdir):
+        r = run([str(REPO / "train.py"), "--config", str(REPO / "config/config.yaml"),
+                 "--synthetic", "--platform", "cpu", "--epochs", "2",
+                 "--batch_size", "16", "--samples_per_epoch", "64",
+                 "--experiment", "cli"], cwd=workdir)
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "Epoch 1:" in r.stdout
+        assert (workdir / "checkpoints" / "final_model").exists()
+        assert (workdir / "export" / "generator" / "metadata.json").exists()
+
+        # resume
+        r2 = run([str(REPO / "train.py"), "--config", str(REPO / "config/config.yaml"),
+                  "--synthetic", "--platform", "cpu", "--epochs", "3",
+                  "--batch_size", "16", "--samples_per_epoch", "64",
+                  "--resume", str(workdir / "checkpoints" / "final_model"),
+                  "--skip_export", "--experiment", "cli2"], cwd=workdir)
+        assert r2.returncode == 0, r2.stderr[-2000:]
+        assert "Resuming" in r2.stdout and "Epoch 2:" in r2.stdout
+
+        # standalone export CLI
+        r3 = run([str(REPO / "export.py"), "--checkpoint",
+                  str(workdir / "checkpoints" / "final_model"),
+                  "--export_dir", str(workdir / "exp2"), "--discriminator"],
+                 cwd=workdir)
+        assert r3.returncode == 0, r3.stderr[-2000:]
+        assert (workdir / "exp2" / "discriminator" / "dense_weights.bin").exists()
+
+    def test_benchmark_cli(self, workdir):
+        r = run([str(REPO / "benchmark_comparison.py"), "--platform", "cpu",
+                 "--checkpoint", str(workdir / "checkpoints" / "final_model"),
+                 "--n_trials", "4", "--snr_min", "0", "--snr_max", "30",
+                 "--snr_step", "30", "--output_dir", str(workdir / "bench")],
+                cwd=workdir)
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "Linear AWGN Channel" in r.stdout
+        assert (workdir / "bench" / "benchmark_nonlinear.png").exists()
+
+    def test_export_mini_weights_cli(self, workdir):
+        r = run([str(REPO / "export_mini_weights.py"),
+                 "--export_dir", str(workdir / "export" / "generator"),
+                 "--output", str(workdir / "rom" / "weight_rom.v")], cwd=workdir)
+        assert r.returncode == 0, r.stderr[-2000:]
+        text = (workdir / "rom" / "weight_rom.v").read_text()
+        assert "module weight_rom" in text and "module bias_rom" in text
+
+    def test_test_models_script(self, workdir):
+        r = run([str(REPO / "test_models.py")], cwd=REPO)
+        assert r.returncode == 0, r.stdout + r.stderr[-500:]
+        assert "6/6 tests passed" in r.stdout
+
+    def test_selfcheck(self, workdir):
+        r = run(["-c", "import jax; jax.config.update('jax_platforms','cpu');"
+                 "import sys; from ofdmgan_tpu.selfcheck import main; sys.exit(main())"],
+                cwd=REPO)
+        assert r.returncode == 0, r.stdout + r.stderr[-500:]
+        assert "ALL PASSED" in r.stdout
