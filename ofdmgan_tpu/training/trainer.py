@@ -49,7 +49,14 @@ class Trainer:
         use_pallas_datagen: bool = False,
         qat: bool = False,
         rtl_faithful: bool = False,
+        generator=None,
+        discriminator=None,
+        matmul_precision: str = "float32",
     ):
+        """``generator``/``discriminator`` inject alternative model families
+        (e.g. the full 1024-sample U-Net, models/full_unet.py) in place of
+        the default mini pair; the rest of the training runtime (schedules,
+        checkpoints, NaN policy, sharding) is model-agnostic."""
         self.config = config or {}
         self.tp = training_params_from(self.config)
         self.dg_cfg: DatagenConfig = datagen_config_from(self.config, nonlinear, pa_saturation)
@@ -68,7 +75,7 @@ class Trainer:
         gcfg = self.config.get("model", {}).get("generator", {})
         dcfg = self.config.get("model", {}).get("discriminator", {})
         frame_length = self.dg_cfg.frame_length
-        self.generator = MiniGenerator(
+        self.generator = generator if generator is not None else MiniGenerator(
             frame_length=frame_length,
             enc1_channels=gcfg.get("enc1_channels", 4),
             bottleneck_channels=gcfg.get("bottleneck_channels", 8),
@@ -77,7 +84,7 @@ class Trainer:
             qat=qat,  # Q1.7/Q8.8 quantization-aware training
             rtl_faithful=rtl_faithful,
         )
-        self.discriminator = MiniDiscriminator(
+        self.discriminator = discriminator if discriminator is not None else MiniDiscriminator(
             frame_length=frame_length,
             conv1_channels=dcfg.get("conv1_channels", 8),
             conv2_channels=dcfg.get("conv2_channels", 16),
@@ -129,6 +136,7 @@ class Trainer:
                 self.tx_g, self.tx_d, self.dg_cfg, self.loss_cfg,
                 global_batch_size=self.batch_size, mesh=self.mesh,
                 scan_steps=self.scan_steps,
+                matmul_precision=matmul_precision,
             )
             if batch_fn is not None:
                 raise NotImplementedError(
@@ -141,6 +149,7 @@ class Trainer:
                 self.tx_g, self.tx_d, self.dg_cfg, self.loss_cfg,
                 batch_size=self.batch_size, scan_steps=self.scan_steps,
                 use_pallas_datagen=use_pallas_datagen, batch_fn=batch_fn,
+                matmul_precision=matmul_precision,
             )
         if batch_fn is not None:
             gen_apply = self.generator.apply
@@ -289,11 +298,16 @@ class Trainer:
         self.save_checkpoint(str(ckpt_dir / "final_model"))
 
         if export_after and self.config.get("export_after_training", True):
-            from ..quant.export import export_generator
+            from ..models.full_unet import FullUNetGenerator
+            from ..quant.export import export_full_unet, export_generator
 
             export_dir = Path(self.tp["export_dir"]) / "generator"
             print(f"Exporting weights for FPGA to {export_dir} ...")
-            export_generator(jax.device_get(self.state.params_g), str(export_dir))
+            params_g = jax.device_get(self.state.params_g)
+            if isinstance(self.generator, FullUNetGenerator):
+                export_full_unet(params_g, str(export_dir))
+            else:
+                export_generator(params_g, str(export_dir))
 
         self.logger.close()
         return self.state

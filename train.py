@@ -32,6 +32,8 @@ def main():
     parser.add_argument("--export_only", action="store_true")
     parser.add_argument("--export_checkpoint", type=str, default=None)
     parser.add_argument("--export_dir", type=str, default=None)
+    parser.add_argument("--checkpoint_dir", type=str, default=None,
+                        help="override paths.checkpoint_dir")
     parser.add_argument("--nonlinear", action="store_true",
                         help="Enable PA/IQ-imbalance/phase-noise impairments")
     parser.add_argument("--pa_saturation", type=float, default=0.8)
@@ -55,6 +57,21 @@ def main():
                         help="quantization-aware training: Q1.7 weight / Q8.8 "
                              "activation STE so the exported fixed-point ROM is "
                              "faithful to the trained model")
+    parser.add_argument("--model", choices=["mini", "full"], default="mini",
+                        help="model family: mini (16-sample, 258-param) or the "
+                             "full 1024-sample 5-level U-Net (3.94M params, "
+                             "reference export/generator/metadata.json)")
+    parser.add_argument("--frame_length", type=int, default=None,
+                        help="override ofdm.frame_length (default 16 for mini, "
+                             "1024 for --model full)")
+    parser.add_argument("--lr_d", type=float, default=None,
+                        help="discriminator lr override (decoupled from --lr)")
+    parser.add_argument("--matmul_precision",
+                        choices=["float32", "tensorfloat32", "bfloat16"],
+                        default="float32",
+                        help="MXU matmul precision for the train step "
+                             "(float32 is the validated-stable default; see "
+                             "results/RESULTS.md on bf16 collapse)")
     parser.add_argument("--rtl_qat", action="store_true",
                         help="train against the RTL's exact op semantics (slope "
                              "0.3125, clamp tanh, center-tap output conv) + QAT, "
@@ -80,10 +97,19 @@ def main():
         opt = config.setdefault("training", {}).setdefault("optimizer", {})
         opt["lr_generator"] = args.lr
         opt["lr_discriminator"] = args.lr
+    if args.lr_d:
+        opt = config.setdefault("training", {}).setdefault("optimizer", {})
+        opt["lr_discriminator"] = args.lr_d
+    if args.model == "full" and args.frame_length is None:
+        args.frame_length = 1024
+    if args.frame_length:
+        config.setdefault("ofdm", {})["frame_length"] = args.frame_length
     if args.skip_export:
         config["export_after_training"] = False
     if args.export_dir:
         config.setdefault("paths", {})["export_dir"] = args.export_dir
+    if args.checkpoint_dir:
+        config.setdefault("paths", {})["checkpoint_dir"] = args.checkpoint_dir
 
     # ---- export-only mode (train.py:591-613)
     if args.export_only:
@@ -116,8 +142,23 @@ def main():
     if args.nonlinear:
         print(f"  Non-linear impairments ENABLED (PA sat={args.pa_saturation})")
 
+    generator = discriminator = None
+    if args.model == "full":
+        if args.qat or args.rtl_qat:
+            raise SystemExit("--qat/--rtl_qat apply to the mini (ROM-deployable) model only")
+        from ofdmgan_tpu.models.full_unet import FullDiscriminator, FullUNetGenerator
+
+        fl = config.get("ofdm", {}).get("frame_length", 1024)
+        mcfg = config.get("model", {}).get("full", {})
+        levels = mcfg.get("levels", 5)
+        base = mcfg.get("base_channels", 32)
+        generator = FullUNetGenerator(frame_length=fl, levels=levels, base_channels=base)
+        discriminator = FullDiscriminator(frame_length=fl, levels=levels, base_channels=base)
+
     trainer = Trainer(
         config=config,
+        generator=generator,
+        discriminator=discriminator,
         nonlinear=args.nonlinear,
         pa_saturation=args.pa_saturation,
         samples_per_epoch=args.samples_per_epoch or tpu_cfg.get("samples_per_epoch", 10_000),
@@ -128,6 +169,7 @@ def main():
         use_pallas_datagen=args.pallas_datagen,
         qat=args.qat or args.rtl_qat,
         rtl_faithful=args.rtl_qat,
+        matmul_precision=args.matmul_precision,
     )
     from ofdmgan_tpu.models import count_parameters
 
