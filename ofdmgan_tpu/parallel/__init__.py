@@ -5,3 +5,4 @@ from .mesh import (  # noqa: F401
     replicate_state,
 )
 from .gspmd import make_gspmd_train_step  # noqa: F401
+from . import distributed  # noqa: F401

@@ -115,6 +115,12 @@ def make_sharded_train_step(
 
 
 def replicate_state(state: TrainState, mesh: Mesh) -> TrainState:
-    """Place a host-built TrainState replicated across the mesh."""
+    """Place a host-built TrainState replicated across the mesh (works for
+    multi-process meshes too — every process passes the identical
+    deterministically-initialized state)."""
+    if any(d.process_index != jax.process_index() for d in mesh.devices.flat):
+        from .distributed import replicate_global
+
+        return replicate_global(state, mesh)
     sharding = NamedSharding(mesh, P())
     return jax.device_put(state, sharding)

@@ -33,6 +33,21 @@ from .schedules import make_adam
 from .wgan_gp import LossConfig, TrainState, make_eval_step, make_train_step
 
 
+class _NullLogger:
+    """No-op logger for non-zero processes in multi-process runs."""
+
+    dir = Path(".")
+
+    def log_text(self, *a, **k):
+        pass
+
+    def log_scalars(self, *a, **k):
+        pass
+
+    def close(self):
+        pass
+
+
 class Trainer:
     def __init__(
         self,
@@ -170,6 +185,9 @@ class Trainer:
         else:
             self._eval = make_eval_step(self.generator.apply, self.dg_cfg, self.batch_size)
 
+        # multi-process: only process 0 writes checkpoints/logs (all
+        # processes hold identical replicated state, so nothing is lost)
+        self.is_main_process = jax.process_index() == 0
         self.current_epoch = 0
         self.best_val_loss = float("inf")
         self.logger: Optional[MetricsLogger] = None
@@ -216,6 +234,8 @@ class Trainer:
 
     def save_checkpoint(self, path: str, is_best: bool = False):
         """Full-state checkpoint + sidecar (train.py:411-430)."""
+        if not self.is_main_process:
+            return
         path = Path(path).absolute()
         if path.exists():
             shutil.rmtree(path)
@@ -251,10 +271,12 @@ class Trainer:
               export_after: bool = True) -> TrainState:
         epochs = epochs or self.tp["epochs"]
         self.logger = MetricsLogger(self.tp["log_dir"], experiment_name,
-                                    tensorboard=self.config.get("logging", {}).get("tensorboard", True))
+                                    tensorboard=self.config.get("logging", {}).get("tensorboard", True)) \
+            if self.is_main_process else _NullLogger()
         self.logger.log_text("config", json.dumps(self.config, indent=2, default=str))
         ckpt_dir = Path(self.tp["checkpoint_dir"]).absolute()
-        ckpt_dir.mkdir(parents=True, exist_ok=True)
+        if self.is_main_process:
+            ckpt_dir.mkdir(parents=True, exist_ok=True)
 
         print(f"Training for {epochs} epochs | batch {self.batch_size} | "
               f"{self.steps_per_epoch} steps/epoch (scan {self.scan_steps}) | "
@@ -297,7 +319,8 @@ class Trainer:
         print(f"Training complete in {(time.time()-t0)/3600:.2f} hours")
         self.save_checkpoint(str(ckpt_dir / "final_model"))
 
-        if export_after and self.config.get("export_after_training", True):
+        if export_after and self.config.get("export_after_training", True) \
+                and self.is_main_process:
             from ..models.full_unet import FullUNetGenerator
             from ..quant.export import export_full_unet, export_generator
 

@@ -44,6 +44,16 @@ def main():
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--platform", type=str, default=None,
                         help="force a jax platform (e.g. cpu) before backend init")
+    # multi-process distributed training (SURVEY.md §5.8; no reference
+    # counterpart — the reference is single-process)
+    parser.add_argument("--coordinator", type=str, default=None,
+                        help="jax.distributed coordinator address host:port "
+                             "(process 0 hosts the service)")
+    parser.add_argument("--num_processes", type=int, default=None)
+    parser.add_argument("--process_id", type=int, default=None)
+    parser.add_argument("--local_devices", type=int, default=None,
+                        help="force this process onto N virtual CPU devices "
+                             "(multi-process testing without a pod)")
     parser.add_argument("--profile", type=int, default=0, metavar="N",
                         help="capture a JAX profiler trace of N step dispatches before training")
     parser.add_argument("--nan_policy", choices=["restore_best", "raise", "ignore"],
@@ -85,6 +95,13 @@ def main():
         jax.config.update("jax_platforms", args.platform)
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
+    if args.coordinator or args.num_processes:
+        from ofdmgan_tpu.parallel.distributed import initialize
+
+        initialize(args.coordinator, args.num_processes, args.process_id,
+                   local_cpu_devices=args.local_devices)
+        print(f"Distributed: process {jax.process_index()}/{jax.process_count()}, "
+              f"{jax.local_device_count()} local / {jax.device_count()} global devices")
 
     from ofdmgan_tpu.config import load_config
 
