@@ -71,6 +71,7 @@ def make_sharded_train_step(
     scan_steps: int = 1,
     donate: bool = True,
     matmul_precision: str = "float32",
+    batch_fn: Optional[Callable] = None,
 ) -> Callable[[TrainState, jax.Array], Tuple[TrainState, dict]]:
     """Data-parallel fused train step over ``mesh`` axis ``dp``.
 
@@ -78,6 +79,11 @@ def make_sharded_train_step(
     on-device from a folded key; gradients are ``pmean``-ed across ``dp``
     inside the step (before each of the n_critic critic updates and the
     generator update), so replicas stay bit-identical.
+
+    ``batch_fn(key, n) -> batch`` overrides the synthetic datagen (e.g. the
+    image-backed dataset's ``sample_batch``); its device-side caches are
+    captured as replicated constants, and the folded per-replica keys give
+    every device a disjoint (image, SNR) sample stream.
     """
     dp = mesh.shape["dp"]
     if global_batch_size % dp:
@@ -95,6 +101,7 @@ def make_sharded_train_step(
         scan_steps=scan_steps,
         axis_name="dp",
         matmul_precision=matmul_precision,
+        batch_fn=batch_fn,
     )
 
     def per_replica(state: TrainState, key: jax.Array):

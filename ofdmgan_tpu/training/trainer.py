@@ -152,12 +152,8 @@ class Trainer:
                 global_batch_size=self.batch_size, mesh=self.mesh,
                 scan_steps=self.scan_steps,
                 matmul_precision=matmul_precision,
+                batch_fn=batch_fn,
             )
-            if batch_fn is not None:
-                raise NotImplementedError(
-                    "image-dataset training is single-device in this version; "
-                    "use --dp 1"
-                )
         else:
             self._step = make_train_step(
                 self.generator.apply, self.discriminator.apply,

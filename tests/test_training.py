@@ -160,3 +160,39 @@ class TestShardedTrainStep:
         )
         new_state, metrics = step(replicate_state(state, mesh), KEY)
         assert np.isfinite(float(metrics["g_loss"]))
+
+
+class TestImageDatasetDP:
+    """Image-backed training composed with shard_map data parallelism
+    (round-2: lifts the round-1 NotImplementedError, trainer.py)."""
+
+    def _make_images(self, d, n=3):
+        from PIL import Image
+
+        rng = np.random.default_rng(0)
+        for i in range(n):
+            Image.fromarray(rng.integers(0, 256, (16, 16)).astype(np.uint8)).save(
+                d / f"img{i}.png")
+
+    def test_image_dir_with_dp8(self, tmp_path):
+        from ofdmgan_tpu.training.trainer import Trainer
+
+        self._make_images(tmp_path)
+        config = {
+            "ofdm": {"frame_length": 16, "num_subcarriers": 8, "cp_length": 2,
+                     "modulation": "QPSK"},
+            "training": {"batch_size": 32, "epochs": 1,
+                         "optimizer": {"lr_generator": 1e-4, "lr_discriminator": 1e-4}},
+            "logging": {"tensorboard": False},
+        }
+        trainer = Trainer(config=config, image_dir=str(tmp_path),
+                          samples_per_epoch=64, data_parallel=8)
+        before = jax.device_get(trainer.state.params_g)
+        tm = trainer.train_epoch(0)
+        assert all(np.isfinite(v) for v in tm.values()), tm
+        vm = trainer.validate()
+        assert np.isfinite(vm["rec_loss"]) and np.isfinite(vm["mse"])
+        after = jax.device_get(trainer.state.params_g)
+        diffs = jax.tree_util.tree_map(
+            lambda a, b: float(np.max(np.abs(a - b))), before, after)
+        assert max(jax.tree_util.tree_leaves(diffs)) > 0
