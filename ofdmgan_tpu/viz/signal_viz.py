@@ -162,6 +162,39 @@ class OFDMVisualizer:
         plt.close(fig)
         return self.out / fname
 
+    def plot_spectrogram(self, signals: List[OFDMSignal],
+                         fname: str = "spectrogram.png", nperseg: int = 8,
+                         overlap: float = 0.5):
+        """Time-frequency spectrogram panel per signal (reference
+        ofdm_signal_viz.py:388-430 uses scipy.signal.spectrogram; this is a
+        dependency-free STFT with a Hann window — same picture). For the
+        16-sample mini frames the default 8-sample window gives a 2x5 grid
+        of STFT bins; longer frames (e.g. the 1024-sample family) get
+        proportionally finer tiles."""
+        plt = self._plt()
+        nperseg = min(nperseg, min(len(s.i) for s in signals))
+        hop = max(1, int(nperseg * (1 - overlap)))
+        win = np.hanning(nperseg)
+        fig, axes = plt.subplots(1, len(signals),
+                                 figsize=(3.2 * len(signals), 3.2), squeeze=False)
+        for ax, s in zip(axes[0], signals):
+            x = s.complex
+            starts = range(0, len(x) - nperseg + 1, hop)
+            stft = np.stack([np.fft.fftshift(np.fft.fft(win * x[i:i + nperseg]))
+                             for i in starts], axis=1)  # [freq, time]
+            sxx_db = 20 * np.log10(np.abs(stft) + 1e-9)
+            t_ms = (np.asarray(list(starts)) + nperseg / 2) / s.sample_rate * 1e3
+            f_khz = np.fft.fftshift(np.fft.fftfreq(nperseg, 1 / s.sample_rate)) / 1e3
+            im = ax.pcolormesh(t_ms, f_khz, sxx_db, shading="auto", cmap="viridis")
+            ax.set_title(s.name, fontsize=9)
+            ax.set_xlabel("time (ms)")
+            ax.set_ylabel("frequency (kHz)")
+            fig.colorbar(im, ax=ax, label="dB")
+        fig.tight_layout()
+        fig.savefig(self.out / fname, dpi=130)
+        plt.close(fig)
+        return self.out / fname
+
     def metric_table(self, rows: List[Dict], fname: str = "metrics.json"):
         (self.out / fname).write_text(json.dumps(rows, indent=2))
         return self.out / fname
@@ -192,6 +225,7 @@ def create_research_quality_figures(
     viz.plot_time_domain(all_signals)
     viz.plot_constellation(all_signals)
     viz.plot_psd(all_signals)
+    viz.plot_spectrogram(all_signals)
 
     gen = MiniGenerator()
     if gen_params is None:

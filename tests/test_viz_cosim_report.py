@@ -35,7 +35,8 @@ class TestSignalViz:
         p1 = viz.plot_time_domain([clean, faded])
         p2 = viz.plot_constellation([clean, faded])
         p3 = viz.plot_psd([clean, faded])
-        for p in (p1, p2, p3):
+        p4 = viz.plot_spectrogram([clean, faded])
+        for p in (p1, p2, p3, p4):
             assert Path(p).stat().st_size > 5_000
 
     def test_research_figures_with_live_datapath(self, tmp_path):
