@@ -40,6 +40,11 @@ def main():
                         default="independent",
                         help="independent = the reference's protocol; joint = "
                              "the training protocol (shared noisy/clean scale)")
+    parser.add_argument("--protocol", choices=["oracle", "pilot"], default="oracle",
+                        help="oracle = the reference's quirk (equalizers see the "
+                             "clean data frame, benchmark_comparison.py:219-245); "
+                             "pilot = fair known-preamble channel estimation / "
+                             "tap adaptation only")
     parser.add_argument("--output_dir", type=str, default="./benchmark_results")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--platform", type=str, default=None)
@@ -81,7 +86,7 @@ def main():
     kw = dict(n_trials=args.n_trials, frame_length=args.frame_length,
               snr_values=snr_values, seed=args.seed,
               normalization=args.normalization, include_quantized=args.quantized,
-              int_mode=args.int_mode)
+              int_mode=args.int_mode, protocol=args.protocol)
 
     results_nl = None
     if not args.nonlinear:

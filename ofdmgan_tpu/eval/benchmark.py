@@ -44,7 +44,7 @@ def _normalize_each(iq: jnp.ndarray) -> jnp.ndarray:
 
 @partial(jax.jit, static_argnames=("n_trials", "frame_length", "channel_type",
                                    "nonlinear", "gen_apply", "normalization",
-                                   "int_mode"))
+                                   "int_mode", "protocol"))
 def _one_snr_batch(
     key: jax.Array,
     params_g,
@@ -58,9 +58,23 @@ def _one_snr_batch(
     normalization: str = "independent",
     int_gen_params=None,
     int_mode: str = "rtl",
+    protocol: str = "oracle",
 ):
     """All trials at one SNR as a single fused computation.
-    Returns per-method (mse[n_trials], evm[n_trials])."""
+    Returns per-method (mse[n_trials], evm[n_trials]).
+
+    ``protocol``:
+      * "oracle" — the reference's quirk: classical equalizers receive the
+        CLEAN data frame for channel estimation/adaptation
+        (benchmark_comparison.py:219-245), an advantage the GAN never gets.
+      * "pilot" — the fair variant: a KNOWN preamble frame precedes each
+        data frame through the SAME channel realization (and the same
+        nonlinear front-end); ZF/MMSE estimate H from the received/known
+        preamble ratio (the time-domain analog of the pilot LS estimate in
+        signal/ofdm.py:demodulate) and DFE/LMS/RLS adapt their taps on the
+        preamble only, then equalize the unseen data frame. No method sees
+        the clean data.
+    """
     k_sym, k_imp, k_ch = jax.random.split(key, 3)
     kr, ki = jax.random.split(k_sym)
     freq = (
@@ -69,7 +83,18 @@ def _one_snr_batch(
     ) / jnp.sqrt(2.0)
     clean_c = ofdm_like_frame(freq)
 
-    distorted = clean_c
+    tx_p = None
+    if protocol == "pilot":
+        # deterministic public preamble (same for every trial/run)
+        kp_r, kp_i = jax.random.split(jax.random.PRNGKey(2024))
+        pfreq = (jax.random.normal(kp_r, (frame_length,))
+                 + 1j * jax.random.normal(kp_i, (frame_length,))) / jnp.sqrt(2.0)
+        tx_p = jnp.broadcast_to(ofdm_like_frame(pfreq), clean_c.shape)
+        tx = jnp.concatenate([tx_p, clean_c], axis=-1)  # preamble ++ data
+    else:
+        tx = clean_c
+
+    distorted = tx
     if nonlinear:
         distorted = imp_lib.pa_rapp(distorted, pa_saturation, 3.0)
         distorted = imp_lib.iq_imbalance(distorted, 1.0, 5.0)
@@ -78,6 +103,9 @@ def _one_snr_batch(
     noisy_c, _ = channel_lib.apply(
         k_ch, distorted, snr_db, channel_lib.ChannelConfig(channel_type)
     )
+    rx_p = None
+    if protocol == "pilot":
+        rx_p, noisy_c = noisy_c[..., :frame_length], noisy_c[..., frame_length:]
 
     if normalization == "joint":
         # the TRAINING protocol's joint normalization (utils/dataset.py:284);
@@ -122,11 +150,38 @@ def _one_snr_batch(
     # impairments is a genuine nonlinear-processing gain.
     snr_lin = 10.0 ** (snr_db / 10.0)
     add("Wiener", (snr_lin / (1.0 + snr_lin)) * noisy_iq)
-    add("ZF", jax.vmap(lambda n, c: eq.zf_equalize_iq(n, c)[0])(noisy_iq, clean_iq))
-    add("MMSE", jax.vmap(lambda n, c: eq.mmse_equalize_iq(n, c, snr_db)[0])(noisy_iq, clean_iq))
-    add("DFE", jax.vmap(lambda n, c: eq.dfe_equalize_iq(n, c)[0])(noisy_iq, clean_iq))
-    add("LMS", jax.vmap(lambda n, c: eq.lms_equalize_iq(n, c)[0])(noisy_iq, clean_iq))
-    add("RLS", jax.vmap(lambda n, c: eq.rls_equalize_iq(n, c)[0])(noisy_iq, clean_iq))
+
+    if protocol == "pilot":
+        eps = 1e-10
+
+        def norm_iq(est_c):
+            return _normalize_each(complex_to_iq(est_c).astype(jnp.float32))
+
+        h_p = rx_p / (tx_p + eps)  # per-sample LS estimate from the preamble
+        add("ZF", norm_iq(noisy_c / (h_p + eps)))
+        add("MMSE", norm_iq(jnp.conj(h_p) / (jnp.abs(h_p) ** 2 + 1.0 / snr_lin)
+                            * noisy_c))
+
+        def dfe_one(rp, tp, n):
+            w_ff, w_fb = eq.dfe_train(rp, tp)
+            return eq.dfe_equalize(n, w_ff, w_fb)
+
+        def lms_one(rp, tp, n):
+            w, _ = eq.lms_train(rp, tp)
+            return eq.lms_equalize(n, w)
+
+        def rls_one(rp, tp, n):
+            w, _ = eq.rls_train(rp, tp)
+            return eq.rls_equalize(n, w)
+
+        for name, fn in (("DFE", dfe_one), ("LMS", lms_one), ("RLS", rls_one)):
+            add(name, norm_iq(jax.vmap(fn)(rx_p, tx_p, noisy_c)))
+    else:
+        add("ZF", jax.vmap(lambda n, c: eq.zf_equalize_iq(n, c)[0])(noisy_iq, clean_iq))
+        add("MMSE", jax.vmap(lambda n, c: eq.mmse_equalize_iq(n, c, snr_db)[0])(noisy_iq, clean_iq))
+        add("DFE", jax.vmap(lambda n, c: eq.dfe_equalize_iq(n, c)[0])(noisy_iq, clean_iq))
+        add("LMS", jax.vmap(lambda n, c: eq.lms_equalize_iq(n, c)[0])(noisy_iq, clean_iq))
+        add("RLS", jax.vmap(lambda n, c: eq.rls_equalize_iq(n, c)[0])(noisy_iq, clean_iq))
     return results
 
 
@@ -143,10 +198,14 @@ def run_benchmark(
     normalization: str = "independent",
     include_quantized: bool = False,
     int_mode: str = "rtl",
+    protocol: str = "oracle",
 ) -> Dict[str, Dict[float, Dict[str, float]]]:
     """SNR sweep -> method -> snr -> {mse, mse_std, evm, evm_std}
     (benchmark_comparison.py:149-261). ``normalization``: "independent"
-    (the reference's protocol) or "joint" (the training protocol)."""
+    (the reference's protocol) or "joint" (the training protocol).
+    ``protocol``: "oracle" (reference quirk — equalizers see the clean data
+    frame) or "pilot" (fair — known-preamble channel estimation/adaptation
+    only; see _one_snr_batch)."""
     int_gen_params = None
     if include_quantized and gen_apply is not None:
         from ..quant import intsim
@@ -167,7 +226,7 @@ def run_benchmark(
         res = _one_snr_batch(
             key, params_g, jnp.float32(snr), n_trials, frame_length,
             channel_type, nonlinear, pa_saturation, gen_apply, normalization,
-            int_gen_params, int_mode,
+            int_gen_params, int_mode, protocol,
         )
         for m in methods:
             ms, es = np.asarray(res[m][0]), np.asarray(res[m][1])

@@ -60,3 +60,28 @@ class TestBenchmark:
         plot_benchmark_results(res, snrs, "(test)", tmp_path / "plot.png")
         assert (tmp_path / "plot.png").stat().st_size > 10_000
         degradation_summary(res, res, snrs)
+
+    def test_pilot_protocol_is_honest(self):
+        """Round-2 fair protocol: no equalizer sees the clean data frame.
+        Invariants: oracle ZF is unbeatable-by-construction (exact inversion
+        of the very frame it's estimating from); pilot ZF/MMSE are
+        estimation-noise-limited but still clearly beat NoEQ on a fading
+        channel and improve with SNR."""
+        snrs = [10.0, 30.0]
+        pil = run_benchmark(None, None, n_trials=32, snr_values=snrs,
+                            channel_type="rayleigh", protocol="pilot", seed=1)
+        ora = run_benchmark(None, None, n_trials=32, snr_values=snrs,
+                            channel_type="rayleigh", protocol="oracle", seed=1)
+        for m in ("ZF", "MMSE"):
+            # oracle advantage exists and is large
+            assert ora[m][30.0]["mse"] < pil[m][30.0]["mse"] / 10
+            # but pilot estimation still equalizes the fade
+            assert pil[m][30.0]["mse"] < pil["NoEQ"][30.0]["mse"] / 10
+            # and sharpens with SNR (estimation noise shrinks)
+            assert pil[m][30.0]["mse"] < pil[m][10.0]["mse"] / 3
+        # adaptive equalizers trained on the preamble alone stay finite and
+        # no better than their oracle-trained counterparts
+        import numpy as np
+        for m in ("DFE", "LMS", "RLS"):
+            assert np.isfinite(pil[m][30.0]["mse"])
+            assert pil[m][30.0]["mse"] > ora[m][30.0]["mse"] * 0.8

@@ -76,6 +76,13 @@ def main():
                              "1024 for --model full)")
     parser.add_argument("--lr_d", type=float, default=None,
                         help="discriminator lr override (decoupled from --lr)")
+    parser.add_argument("--n_critic", type=int, default=None,
+                        help="critic updates per generator update override")
+    parser.add_argument("--adv_weight", type=float, default=None,
+                        help="adversarial loss weight override (0 = supervised "
+                             "L1-only pretraining; the critic still trains)")
+    parser.add_argument("--rec_weight", type=float, default=None,
+                        help="reconstruction (L1) loss weight override")
     parser.add_argument("--matmul_precision",
                         choices=["float32", "tensorfloat32", "bfloat16"],
                         default="float32",
@@ -117,6 +124,12 @@ def main():
     if args.lr_d:
         opt = config.setdefault("training", {}).setdefault("optimizer", {})
         opt["lr_discriminator"] = args.lr_d
+    if args.n_critic is not None:
+        config.setdefault("training", {})["n_critic"] = args.n_critic
+    if args.adv_weight is not None:
+        config.setdefault("training", {}).setdefault("loss", {})["adversarial_weight"] = args.adv_weight
+    if args.rec_weight is not None:
+        config.setdefault("training", {}).setdefault("loss", {})["reconstruction_weight"] = args.rec_weight
     if args.model == "full" and args.frame_length is None:
         args.frame_length = 1024
     if args.frame_length:
