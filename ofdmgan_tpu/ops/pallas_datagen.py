@@ -2,24 +2,34 @@
 
 The datagen hot path (signal/datagen.py) as a single Pallas kernel:
 hardware PRNG -> Box-Muller normals -> spectrum -> inverse-DFT (MXU) ->
-per-frame SNR -> AWGN — all resident in VMEM, one HBM write per output.
+optional nonlinear RF impairments -> per-frame SNR -> AWGN — all resident
+in VMEM, one HBM write per output.
 
-TPU-native layout trick: frames are only L=16 samples, far below the
-128-lane vector width, so the kernel PACKS 8 frames per row
-(``[rows, 128]``) and performs the inverse DFT as one matmul with a
-BLOCK-DIAGONAL basis (8 copies of the 16x16 DFT matrix) — full MXU lane
-utilization instead of 12.5%. Per-frame quantities (power, SNR) are
-expanded across their 16 samples with a second structured matmul
-(segment-sum / broadcast matrices), keeping everything on the MXU/VPU.
+TPU-native layout tricks:
+  * frames shorter than the 128-lane vector width are PACKED ``128 // L``
+    per row and the inverse DFT becomes one matmul with a BLOCK-DIAGONAL
+    basis (copies of the LxL DFT matrix) — full MXU lane utilization
+    instead of L/128;
+  * per-frame quantities (power, SNR) are expanded across each frame's L
+    samples with segment-mean matmuls (structured broadcast on the MXU);
+  * the Wiener phase-noise prefix sum (theta = cumsum(increments)) — the
+    piece SURVEY.md §7.3 flags as the costly sequential op — is computed as
+    a matmul with a block LOWER-TRIANGULAR ones matrix: the MXU does the
+    scan, no sequential loop;
+  * frames of length >= 128 (multiples of 128, e.g. the 1024-sample full
+    U-Net family) use the same kernel un-packed with full LxL bases.
 
-Two rationales vs the XLA lowering:
-  * the hardware PRNG (pltpu.prng_random_bits) replaces threefry, which
-    dominates the XLA datagen's instruction count;
-  * normalization and layout conversion remain in the caller (cheap,
-    fused by XLA into the consumer).
+Supported configuration (the training defaults): AWGN channel, linear or
+the nonlinear chain Rapp PA -> IQ imbalance -> Wiener phase noise
+(reference apply_all order, utils/ofdm_utils.py:570-605; DC/CFO are
+disabled in the reference's dataset too, utils/dataset.py:251-264).
+Saleh PA / DC / CFO / fading channels stay on the XLA implementation.
 
-Currently implements the linear-AWGN configuration (the default training
-config); the nonlinear-impairment path stays on the XLA implementation.
+Honest perf note (hard-synced, v5e): the hand-scheduled kernel reaches
+~105M frames/s standalone at L=16 while XLA's own fusion of the jnp
+lowering reaches ~137M — XLA already fuses this chain well; the kernel is
+kept as the hand-scheduled baseline, for the hardware-PRNG path, and as
+the template for fusing datagen INTO consumers where XLA cannot.
 """
 
 from __future__ import annotations
@@ -34,27 +44,43 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..utils.iq import joint_max_normalize
 
-FRAME = 16
-PACK = 128 // FRAME  # 8 frames per 128-lane row
 _TWO_PI = 6.283185307179586
 
 
+def _pack(frame_length: int) -> int:
+    """Frames per row (lane packing factor)."""
+    if frame_length <= 128:
+        if 128 % frame_length:
+            raise ValueError(f"frame_length {frame_length} must divide 128")
+        return 128 // frame_length
+    if frame_length % 128:
+        raise ValueError(f"frame_length {frame_length} must be a multiple of 128")
+    return 1
+
+
 @functools.lru_cache(maxsize=None)
-def _basis_matrices():
-    """Block-diagonal inverse-DFT bases and per-frame broadcast matrices."""
-    t = np.arange(FRAME)[:, None]
-    k = np.arange(FRAME)[None, :]
-    w = np.exp(2j * np.pi * t * k / FRAME) * np.sqrt(FRAME) / FRAME  # ifft*sqrt(L)
-    bd_r = np.zeros((128, 128), np.float32)
-    bd_i = np.zeros((128, 128), np.float32)
-    seg_mean = np.zeros((128, 128), np.float32)  # frame-mean at every sample
-    for f in range(PACK):
-        s = slice(f * FRAME, (f + 1) * FRAME)
+def _basis_matrices(frame_length: int):
+    """Block-diagonal inverse-DFT bases, per-frame segment-mean matrix and
+    block lower-triangular (inclusive) prefix-sum matrix, all [W, W] with
+    W = max(frame_length, 128)."""
+    L = frame_length
+    pack = _pack(L)
+    W = L * pack
+    t = np.arange(L)[:, None]
+    k = np.arange(L)[None, :]
+    w = np.exp(2j * np.pi * t * k / L) * np.sqrt(L) / L  # ifft * sqrt(L)
+    bd_r = np.zeros((W, W), np.float32)
+    bd_i = np.zeros((W, W), np.float32)
+    seg_mean = np.zeros((W, W), np.float32)  # frame-mean at every sample
+    tril = np.zeros((W, W), np.float32)      # within-frame inclusive cumsum
+    for f in range(pack):
+        s = slice(f * L, (f + 1) * L)
         # clean[row, s] = spec[row, s] @ w.T  (x @ bd with bd = w.T per block)
         bd_r[s, s] = w.real.T
         bd_i[s, s] = w.imag.T
-        seg_mean[s, s] = 1.0 / FRAME
-    return bd_r, bd_i, seg_mean
+        seg_mean[s, s] = 1.0 / L
+        tril[s, s] = np.tril(np.ones((L, L), np.float32)).T  # theta = incr @ T
+    return bd_r, bd_i, seg_mean, tril
 
 
 def _uniform01(shape):
@@ -76,101 +102,153 @@ def _normals(shape):
     return r * jnp.cos(_TWO_PI * u2), r * jnp.sin(_TWO_PI * u2)
 
 
-def _datagen_kernel(seed_ref, snr_ref, bdr_ref, bdi_ref, seg_ref,
-                    noisy_r_ref, noisy_i_ref, clean_r_ref, clean_i_ref, snr_out_ref):
-    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-    rows = noisy_r_ref.shape[0]
+def _make_kernel(frame_length: int, nonlinear: bool,
+                 pa_saturation: float, pa_smoothness: float,
+                 iq_amplitude_db: float, iq_phase_deg: float,
+                 pn_sigma: float):
+    """Build the kernel body for a static configuration (all impairment
+    parameters fold into compile-time constants)."""
+    L = frame_length
+    W = L * _pack(L)
 
-    # spectrum ~ CN(0,1): each real dim N(0, 1/2)
-    zr, zi = _normals((rows, 128))
-    s_r = zr * jnp.float32(1.0 / np.sqrt(2.0))
-    s_i = zi * jnp.float32(1.0 / np.sqrt(2.0))
+    def kernel(seed_ref, snr_ref, bdr_ref, bdi_ref, seg_ref, tri_ref,
+               noisy_r_ref, noisy_i_ref, clean_r_ref, clean_i_ref, snr_out_ref):
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        rows = noisy_r_ref.shape[0]
 
-    # inverse DFT on the MXU (block-diagonal basis): clean = s @ W_bd
-    bdr = bdr_ref[:]
-    bdi = bdi_ref[:]
-    clean_r = (jnp.dot(s_r, bdr, preferred_element_type=jnp.float32)
-               - jnp.dot(s_i, bdi, preferred_element_type=jnp.float32))
-    clean_i = (jnp.dot(s_r, bdi, preferred_element_type=jnp.float32)
-               + jnp.dot(s_i, bdr, preferred_element_type=jnp.float32))
+        # spectrum ~ CN(0,1): each real dim N(0, 1/2)
+        zr, zi = _normals((rows, W))
+        s_r = zr * jnp.float32(1.0 / np.sqrt(2.0))
+        s_i = zi * jnp.float32(1.0 / np.sqrt(2.0))
 
-    # per-frame mean power, broadcast to all 16 samples (segment matmul)
-    power = jnp.dot(clean_r * clean_r + clean_i * clean_i, seg_ref[:],
-                    preferred_element_type=jnp.float32)
+        # inverse DFT on the MXU (block-diagonal basis): clean = s @ W_bd
+        bdr = bdr_ref[:]
+        bdi = bdi_ref[:]
+        clean_r = (jnp.dot(s_r, bdr, preferred_element_type=jnp.float32)
+                   - jnp.dot(s_i, bdi, preferred_element_type=jnp.float32))
+        clean_i = (jnp.dot(s_r, bdi, preferred_element_type=jnp.float32)
+                   + jnp.dot(s_i, bdr, preferred_element_type=jnp.float32))
 
-    # per-frame SNR, constant across each frame's samples: draw one uniform
-    # per 128 lanes and segment-mean it? No — draw per-sample then take the
-    # frame's FIRST sample via the broadcast matrix trick would need a
-    # selector; instead draw per-sample and make it frame-constant by
-    # averaging ranks... simplest exact approach: draw per-sample uniforms,
-    # then replace each frame's values with the frame MEAN of logits —
-    # that changes the distribution. So: draw a per-sample uniform and kill
-    # within-frame variation by segment-summing a masked copy (only sample 0
-    # of each frame carries its value).
-    u = _uniform01((rows, 128))
-    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
-    first = (lane % FRAME) == 0
-    u_first = jnp.where(first, u, 0.0)
-    u_frame = jnp.dot(u_first, seg_ref[:], preferred_element_type=jnp.float32) * FRAME
-    snr_db = snr_ref[0] + (snr_ref[1] - snr_ref[0]) * u_frame
+        x_r, x_i = clean_r, clean_i
+        if nonlinear:
+            # Rapp PA AM/AM (impairments.pa_rapp): gain = (1+u^p)^(-1/(2p))
+            # with u = (amp/A)^2 — even powers avoid pow() entirely for the
+            # default smoothness p=3.
+            a2 = (x_r * x_r + x_i * x_i) * jnp.float32(1.0 / pa_saturation**2)
+            p = pa_smoothness
+            if float(p) == 3.0:
+                u_p = a2 * a2 * a2
+            else:
+                u_p = jnp.exp(jnp.float32(p) * jnp.log(jnp.maximum(a2, 1e-30)))
+            gain = jnp.exp(jnp.float32(-1.0 / (2.0 * p)) * jnp.log1p(u_p))
+            x_r = x_r * gain
+            x_i = x_i * gain
 
-    noise_power = power * jnp.exp2(-snr_db * jnp.float32(np.log2(10.0) / 10.0))
-    std = jnp.sqrt(noise_power * 0.5)
-    nr, ni = _normals((rows, 128))
-    noisy_r_ref[:] = clean_r + std * nr
-    noisy_i_ref[:] = clean_i + std * ni
-    clean_r_ref[:] = clean_r
-    clean_i_ref[:] = clean_i
-    snr_out_ref[:] = snr_db
+            # IQ imbalance (impairments.iq_imbalance): Q' = g(cosφ Q + sinφ I)
+            g = 10.0 ** (iq_amplitude_db / 20.0)
+            phi = np.deg2rad(iq_phase_deg)
+            x_i = jnp.float32(g) * (jnp.float32(np.cos(phi)) * x_i
+                                    + jnp.float32(np.sin(phi)) * x_r)
+
+            # Wiener phase noise: theta = within-frame cumsum of N(0, σ²)
+            # increments — prefix sum as a block-triangular MXU matmul.
+            w1, _ = _normals((rows, W))
+            theta = jnp.dot(w1 * jnp.float32(pn_sigma), tri_ref[:],
+                            preferred_element_type=jnp.float32)
+            c, s = jnp.cos(theta), jnp.sin(theta)
+            x_r, x_i = x_r * c - x_i * s, x_r * s + x_i * c
+
+        # per-frame mean power of the DISTORTED signal (channel.awgn measures
+        # its input's power), broadcast to all L samples (segment matmul)
+        power = jnp.dot(x_r * x_r + x_i * x_i, seg_ref[:],
+                        preferred_element_type=jnp.float32)
+
+        # per-frame SNR, constant across the frame's samples: draw
+        # per-sample uniforms, keep only each frame's first sample, and
+        # broadcast it with the segment-mean matmul (x L undoes the mean).
+        u = _uniform01((rows, W))
+        lane = jax.lax.broadcasted_iota(jnp.int32, (rows, W), 1)
+        first = (lane % L) == 0
+        u_first = jnp.where(first, u, 0.0)
+        u_frame = jnp.dot(u_first, seg_ref[:], preferred_element_type=jnp.float32) * L
+        snr_db = snr_ref[0] + (snr_ref[1] - snr_ref[0]) * u_frame
+
+        noise_power = power * jnp.exp2(-snr_db * jnp.float32(np.log2(10.0) / 10.0))
+        std = jnp.sqrt(noise_power * 0.5)
+        nr, ni = _normals((rows, W))
+        noisy_r_ref[:] = x_r + std * nr
+        noisy_i_ref[:] = x_i + std * ni
+        clean_r_ref[:] = clean_r
+        clean_i_ref[:] = clean_i
+        snr_out_ref[:] = snr_db
+
+    return kernel
 
 
 def synthetic_batch_pallas(key: jax.Array, batch_size: int,
                            snr_min: float = 0.0, snr_max: float = 30.0,
+                           frame_length: int = 16,
+                           nonlinear: bool = False,
+                           pa_saturation: float = 1.0,
+                           pa_smoothness: float = 3.0,
+                           iq_amplitude_db: float = 1.0,
+                           iq_phase_deg: float = 5.0,
+                           phase_noise_dbchz: float = -80.0,
+                           sample_rate: float = 1e6,
                            tile_rows: int = 1024, interpret: bool = False):
-    """Pallas-kernel datagen: AWGN config of signal/datagen.synthetic_batch.
+    """Pallas-kernel datagen: AWGN config of signal/datagen.synthetic_batch,
+    linear or nonlinear (Rapp PA + IQ imbalance + Wiener phase noise —
+    reference apply_all defaults, utils/dataset.py:251-264).
 
-    Returns the same dict contract: noisy/clean ``[B, 16, 2]`` jointly
-    max-normalized, snr ``[B]``; ``batch_size`` must be a multiple of 8.
+    Returns the same dict contract: noisy/clean ``[B, L, 2]`` jointly
+    max-normalized, snr ``[B]``; ``batch_size`` must be a multiple of the
+    per-row packing (128 // L for L <= 128). The clean target stays the
+    pre-impairment frame (the reference quirk kept on purpose).
 
-    ``tile_rows``: measured sweet spot is 1024 (8192 frames/tile): 969M
-    frames/s on v5e vs 823M for the XLA lowering; 512 falls off a cliff
-    (per-step overhead dominates) and >=2048 loses pipelining to VMEM
-    pressure. ``interpret=True`` runs the kernel in the Pallas interpreter
-    (CPU testing).
+    ``tile_rows``: rows per grid step; 1024 measured best at L=16 on v5e.
+    ``interpret=True`` runs the Pallas interpreter (CPU testing).
     """
-    assert batch_size % PACK == 0, "batch must be a multiple of 8"
-    rows = batch_size // PACK
-    tile = min(tile_rows, rows)
+    L = frame_length
+    pack = _pack(L)
+    W = L * pack
+    assert batch_size % pack == 0, f"batch must be a multiple of {pack}"
+    rows = batch_size // pack
+    # cap VMEM per tile: ~10 [tile, W] f32 live arrays + 4 [W, W] bases
+    tile_cap = max(8, min(tile_rows, (48 << 20) // (10 * 4 * W)))
+    tile = min(tile_cap, rows)
     while rows % tile:
-        tile //= 2
+        tile -= 1
     grid = rows // tile
 
-    bdr, bdi, seg = _basis_matrices()
+    bdr, bdi, seg, tri = _basis_matrices(L)
     seed = jax.random.randint(key, (1,), 0, np.iinfo(np.int32).max, jnp.int32)
     snr_params = jnp.asarray([snr_min, snr_max], jnp.float32)
+    pn_sigma = float(np.sqrt(10.0 ** (phase_noise_dbchz / 10.0) * sample_rate))
 
-    out_shape = [jax.ShapeDtypeStruct((rows, 128), jnp.float32)] * 5
+    kernel = _make_kernel(L, nonlinear, pa_saturation, pa_smoothness,
+                          iq_amplitude_db, iq_phase_deg, pn_sigma)
+
+    out_shape = [jax.ShapeDtypeStruct((rows, W), jnp.float32)] * 5
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # seed, snr bounds
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((128, 128), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((128, 128), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((128, 128), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
-        ],
+            pl.BlockSpec((W, W), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+        ] * 4,
         out_specs=[
-            pl.BlockSpec((tile, 128), lambda i, *_: (i, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((tile, W), lambda i, *_: (i, 0), memory_space=pltpu.VMEM)
         ] * 5,
     )
     noisy_r, noisy_i, clean_r, clean_i, snr_p = pl.pallas_call(
-        _datagen_kernel,
+        kernel,
         out_shape=out_shape,
         grid_spec=grid_spec,
         interpret=interpret,
-    )(seed, snr_params, jnp.asarray(bdr), jnp.asarray(bdi), jnp.asarray(seg))
+    )(seed, snr_params, jnp.asarray(bdr), jnp.asarray(bdi), jnp.asarray(seg),
+      jnp.asarray(tri))
 
     def unpack(x):
-        return x.reshape(batch_size, FRAME)
+        return x.reshape(batch_size, L)
 
     noisy = jnp.stack([unpack(noisy_r), unpack(noisy_i)], axis=-1)
     clean = jnp.stack([unpack(clean_r), unpack(clean_i)], axis=-1)

@@ -111,6 +111,38 @@ def _check_cosim():
         raise RuntimeError("native fixsim build failed")
 
 
+def _check_pallas_datagen():
+    """Statistical validation of the Pallas datagen kernel against the XLA
+    lowering — needs the real TPU PRNG (the CPU interpreter stubs
+    prng_random_bits to zeros), so it runs here on the hardware the kernel
+    targets and is skipped on CPU (tests/test_pallas_datagen.py carries the
+    CPU-checkable plumbing/basis half)."""
+    import jax
+
+    if jax.devices()[0].platform == "cpu":
+        print("    (skipped on cpu: needs hardware PRNG)")
+        return
+    import jax.numpy as jnp
+
+    from .ops.pallas_datagen import synthetic_batch_pallas
+    from .signal import DatagenConfig, synthetic_batch
+
+    for nl in (False, True):
+        out = jax.jit(lambda k: synthetic_batch_pallas(
+            k, 65536, nonlinear=nl, pa_saturation=0.8))(jax.random.PRNGKey(0))
+        cfg = DatagenConfig.make(frame_length=16, snr_range=(0, 30),
+                                 nonlinear=nl, pa_saturation=0.8)
+        ref = jax.jit(lambda k: synthetic_batch(k, 65536, cfg))(jax.random.PRNGKey(1))
+        for field in ("noisy", "clean"):
+            d = abs(float(out[field].std()) - float(ref[field].std()))
+            assert d < 0.01, (nl, field, d)
+        d_out = float(jnp.mean(jnp.abs(out["noisy"] - out["clean"])))
+        d_ref = float(jnp.mean(jnp.abs(ref["noisy"] - ref["clean"])))
+        assert abs(d_out - d_ref) < 0.01, (nl, d_out, d_ref)
+        s = jax.device_get(out["snr"])
+        assert s.min() >= 0 and s.max() <= 30 and abs(s.mean() - 15) < 0.5
+
+
 CHECKS = {
     "signal": _check_signal,
     "models": _check_models,
@@ -118,6 +150,7 @@ CHECKS = {
     "quant": _check_quant,
     "equalizers": _check_equalizers,
     "native-cosim": _check_cosim,
+    "pallas-datagen": _check_pallas_datagen,
 }
 
 

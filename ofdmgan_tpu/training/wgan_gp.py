@@ -148,15 +148,32 @@ def build_train_step(
     if batch_fn is not None:
         gen_batch = batch_fn
     elif use_pallas_datagen:
-        if dg_cfg.nonlinear or dg_cfg.channel.kind != "awgn" or dg_cfg.frame_length != 16:
+        imp = dg_cfg.impairments
+        if dg_cfg.channel.kind != "awgn" or (
+            dg_cfg.nonlinear
+            and (imp.pa_model != "rapp" or not imp.pa_enabled
+                 or not imp.iq_enabled or not imp.phase_noise_enabled
+                 or imp.dc_enabled or imp.cfo_enabled)
+        ):
             raise ValueError(
-                "pallas datagen kernel covers the linear-AWGN 16-sample config; "
-                "use the XLA path for other configurations"
+                "pallas datagen kernel covers the AWGN channel with the "
+                "default nonlinear chain (Rapp PA + IQ + phase noise); use "
+                "the XLA path for other configurations"
             )
         from ..ops.pallas_datagen import synthetic_batch_pallas
 
         def gen_batch(k, n):
-            return synthetic_batch_pallas(k, n, dg_cfg.snr_min, dg_cfg.snr_max)
+            return synthetic_batch_pallas(
+                k, n, dg_cfg.snr_min, dg_cfg.snr_max,
+                frame_length=dg_cfg.frame_length,
+                nonlinear=dg_cfg.nonlinear,
+                pa_saturation=imp.pa_saturation,
+                pa_smoothness=imp.pa_smoothness,
+                iq_amplitude_db=imp.iq_amplitude_db,
+                iq_phase_deg=imp.iq_phase_deg,
+                phase_noise_dbchz=imp.phase_noise_dbchz,
+                sample_rate=imp.sample_rate,
+            )
     else:
         def gen_batch(k, n):
             return synthetic_batch(k, n, dg_cfg)
