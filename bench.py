@@ -23,6 +23,7 @@ small-matmul MXU roofline for this model (see results/RESULTS.md §Perf
 analysis), so this number is a property of the math, not the implementation.
 """
 
+import argparse
 import json
 import time
 
@@ -30,6 +31,12 @@ BASELINE_FRAMES_PER_SEC = 50_000_000.0
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pallas_datagen", action="store_true",
+                    help="generate batches with the Pallas kernel "
+                         "(ops/pallas_datagen.py) instead of the XLA lowering")
+    args = ap.parse_args()
+
     import jax
 
     from ofdmgan_tpu.models import MiniDiscriminator, MiniGenerator
@@ -53,6 +60,7 @@ def main():
             DatagenConfig.make(frame_length=16, snr_range=(0, 30)),
             LossConfig(),  # n_critic=5, gp 10, rec 100 — the reference recipe
             batch_size=batch, scan_steps=scan_steps,
+            use_pallas_datagen=args.pallas_datagen,
         ),
         donate_argnums=0,
     )

@@ -25,11 +25,16 @@ the nonlinear chain Rapp PA -> IQ imbalance -> Wiener phase noise
 disabled in the reference's dataset too, utils/dataset.py:251-264).
 Saleh PA / DC / CFO / fading channels stay on the XLA implementation.
 
-Honest perf note (hard-synced, v5e): the hand-scheduled kernel reaches
-~105M frames/s standalone at L=16 while XLA's own fusion of the jnp
-lowering reaches ~137M — XLA already fuses this chain well; the kernel is
-kept as the hand-scheduled baseline, for the hardware-PRNG path, and as
-the template for fusing datagen INTO consumers where XLA cannot.
+Honest perf notes (hard-synced, v5e):
+  * L=16: kernel 106M frames/s linear / 97M nonlinear vs XLA's fusion of
+    the jnp lowering at 148M / 118M — XLA already fuses this chain well;
+    the kernel is kept as the hand-scheduled baseline, for the
+    hardware-PRNG path, and as the template for fusing datagen INTO
+    consumers where XLA cannot.
+  * The matmul IDFT/prefix-sum approach is O(L²) per frame vs the FFT's
+    O(L log L), so it is the right trade only in the packed short-frame
+    regime (L <= 128, where the matmuls buy full lane utilization); for
+    L >= 256 use the XLA path.
 """
 
 from __future__ import annotations
@@ -213,8 +218,12 @@ def synthetic_batch_pallas(key: jax.Array, batch_size: int,
     W = L * pack
     assert batch_size % pack == 0, f"batch must be a multiple of {pack}"
     rows = batch_size // pack
-    # cap VMEM per tile: ~10 [tile, W] f32 live arrays + 4 [W, W] bases
-    tile_cap = max(8, min(tile_rows, (48 << 20) // (10 * 4 * W)))
+    # VMEM budget: 4 [W, W] f32 bases + ~10 [tile, W] f32 live arrays must
+    # fit the scoped-vmem window (raised below via vmem_limit_bytes for
+    # W > 128; Mosaic's default window is 16 MiB)
+    base_bytes = 4 * W * W * 4
+    vmem_limit = min(100 << 20, max(16 << 20, base_bytes * 2))
+    tile_cap = max(8, min(tile_rows, (vmem_limit - base_bytes) // (12 * 4 * W)))
     tile = min(tile_cap, rows)
     while rows % tile:
         tile -= 1
@@ -244,6 +253,7 @@ def synthetic_batch_pallas(key: jax.Array, batch_size: int,
         out_shape=out_shape,
         grid_spec=grid_spec,
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
     )(seed, snr_params, jnp.asarray(bdr), jnp.asarray(bdi), jnp.asarray(seg),
       jnp.asarray(tri))
 

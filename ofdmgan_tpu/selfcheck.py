@@ -88,19 +88,23 @@ def _check_quant():
 
 
 def _check_equalizers():
+    import jax
     import numpy as np
-    import jax.numpy as jnp
 
     from .eval import compare_equalizers
-    from .utils.iq import complex_to_iq
 
     rng = np.random.default_rng(0)
     clean = (rng.choice([-1, 1], 64) + 1j * rng.choice([-1, 1], 64)) / np.sqrt(2)
     noisy = clean + 0.1 * (rng.standard_normal(64) + 1j * rng.standard_normal(64))
-    res = compare_equalizers(
-        jnp.asarray(complex_to_iq(jnp.asarray(noisy.astype(np.complex64)))),
-        jnp.asarray(complex_to_iq(jnp.asarray(clean.astype(np.complex64)))),
-    )
+    clean_iq = np.stack([clean.real, clean.imag], -1).astype(np.float32)
+    noisy_iq = np.stack([noisy.real, noisy.imag], -1).astype(np.float32)
+    # host-side sanity check: the equalizer scans run eagerly, which the
+    # remote TPU backend doesn't support (per-op dispatch) — pin to CPU,
+    # like the other host-side verify tools
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        import jax.numpy as jnp
+
+        res = compare_equalizers(jnp.asarray(noisy_iq), jnp.asarray(clean_iq))
     assert set(res) == {"ZF", "MMSE", "DFE", "LMS", "RLS"}
 
 
@@ -122,25 +126,39 @@ def _check_pallas_datagen():
     if jax.devices()[0].platform == "cpu":
         print("    (skipped on cpu: needs hardware PRNG)")
         return
+    import functools
+
     import jax.numpy as jnp
+    import numpy as np
 
     from .ops.pallas_datagen import synthetic_batch_pallas
     from .signal import DatagenConfig, synthetic_batch
 
-    for nl in (False, True):
-        out = jax.jit(lambda k: synthetic_batch_pallas(
-            k, 65536, nonlinear=nl, pa_saturation=0.8))(jax.random.PRNGKey(0))
+    # everything (key creation included) stays inside one jitted program —
+    # eager ops are unsupported on the remote backend
+    @functools.partial(jax.jit, static_argnames="nl")
+    def stats(seed, nl):
+        out = synthetic_batch_pallas(jax.random.PRNGKey(seed), 65536,
+                                     nonlinear=nl, pa_saturation=0.8)
         cfg = DatagenConfig.make(frame_length=16, snr_range=(0, 30),
                                  nonlinear=nl, pa_saturation=0.8)
-        ref = jax.jit(lambda k: synthetic_batch(k, 65536, cfg))(jax.random.PRNGKey(1))
-        for field in ("noisy", "clean"):
-            d = abs(float(out[field].std()) - float(ref[field].std()))
-            assert d < 0.01, (nl, field, d)
-        d_out = float(jnp.mean(jnp.abs(out["noisy"] - out["clean"])))
-        d_ref = float(jnp.mean(jnp.abs(ref["noisy"] - ref["clean"])))
-        assert abs(d_out - d_ref) < 0.01, (nl, d_out, d_ref)
-        s = jax.device_get(out["snr"])
-        assert s.min() >= 0 and s.max() <= 30 and abs(s.mean() - 15) < 0.5
+        ref = synthetic_batch(jax.random.PRNGKey(seed + 1), 65536, cfg)
+        return {
+            "noisy_std": (jnp.std(out["noisy"]), jnp.std(ref["noisy"])),
+            "clean_std": (jnp.std(out["clean"]), jnp.std(ref["clean"])),
+            "l1": (jnp.mean(jnp.abs(out["noisy"] - out["clean"])),
+                   jnp.mean(jnp.abs(ref["noisy"] - ref["clean"]))),
+            "snr": (jnp.min(out["snr"]), jnp.max(out["snr"]), jnp.mean(out["snr"])),
+        }
+
+    for nl in (False, True):
+        m = jax.device_get(stats(0, nl))
+        for field in ("noisy_std", "clean_std", "l1"):
+            a, b = (float(v) for v in m[field])
+            assert abs(a - b) < 0.01, (nl, field, a, b)
+        lo, hi, mean = (float(v) for v in m["snr"])
+        assert lo >= 0 and hi <= 30 and abs(mean - 15) < 0.5, (lo, hi, mean)
+        assert np.isfinite([lo, hi, mean]).all()
 
 
 CHECKS = {
