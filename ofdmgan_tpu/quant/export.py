@@ -197,13 +197,16 @@ def export_discriminator(params, output_dir: str, **kw) -> Dict[str, Any]:
     return export_weights(discriminator_layers(params), output_dir, **kw)
 
 
-def full_unet_layers(params, levels: int = 5) -> List[LayerSpec]:
+def full_unet_layers(params, levels: int = 0) -> List[LayerSpec]:
     """FullUNetGenerator params -> reference-ordered layer specs with the
     reference's export names (enc1_1 ... final, export/generator/
-    metadata.json)."""
+    metadata.json). ``levels`` 0 = infer from the parameter tree (supports
+    the smaller 3-level test variants)."""
     from ..models.full_unet import full_unet_layer_names
 
     flat = _flatten_params(params)
+    if not levels:
+        levels = max(int(name[3]) for name, _ in flat if name.startswith("enc"))
     specs = []
     for name in full_unet_layer_names(levels):
         w = np.transpose(flat[(name, "kernel")], (2, 1, 0))
@@ -213,7 +216,7 @@ def full_unet_layers(params, levels: int = 5) -> List[LayerSpec]:
     return specs
 
 
-def export_full_unet(params, output_dir: str, levels: int = 5, **kw) -> Dict[str, Any]:
+def export_full_unet(params, output_dir: str, levels: int = 0, **kw) -> Dict[str, Any]:
     """Reference-format export of the full 1024-sample U-Net — produces the
     same file set as the checked-in export/generator/ directory."""
     return export_weights(full_unet_layers(params, levels), output_dir, **kw)

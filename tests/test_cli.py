@@ -84,3 +84,27 @@ class TestCLIs:
                 cwd=REPO)
         assert r.returncode == 0, r.stdout + r.stderr[-500:]
         assert "ALL PASSED" in r.stdout
+
+
+class TestFullModelCLI:
+    def test_train_full_model(self, workdir, tmp_path):
+        """--model full end-to-end (tiny 3-level variant via config) incl.
+        full-family export bundle."""
+        import yaml
+
+        cfg = yaml.safe_load((REPO / "config/config.yaml").read_text())
+        cfg.setdefault("model", {})["full"] = {"levels": 3, "base_channels": 8}
+        cfgp = tmp_path / "full.yaml"
+        cfgp.write_text(yaml.safe_dump(cfg))
+        r = run([str(REPO / "train.py"), "--config", str(cfgp),
+                 "--synthetic", "--platform", "cpu", "--model", "full",
+                 "--frame_length", "64", "--nonlinear",
+                 "--epochs", "1", "--batch_size", "16",
+                 "--samples_per_epoch", "32", "--adv_weight", "0.1",
+                 "--lr_d", "5e-5", "--n_critic", "2",
+                 "--experiment", "cli_full"], cwd=workdir)
+        assert r.returncode == 0, (r.stdout[-1500:], r.stderr[-1500:])
+        assert "Epoch 0:" in r.stdout
+        meta = json.loads(
+            (workdir / "export" / "generator" / "metadata.json").read_text())
+        assert "enc1_1" in meta["layers"] and "final" in meta["layers"]
