@@ -71,10 +71,24 @@ def make_gspmd_train_step(
         global_batch_size, scan_steps=scan_steps, batch_fn=batch_fn,
     )
 
+    def _put(tree, shardings):
+        """Place host values under shardings; multi-process meshes need
+        make_array_from_callback (device_put can't target non-addressable
+        devices)."""
+        if any(d.process_index != jax.process_index() for d in mesh.devices.flat):
+            import numpy as np
+
+            return jax.tree_util.tree_map(
+                lambda x, s: jax.make_array_from_callback(
+                    np.shape(x), s, lambda idx, x=np.asarray(x): x[idx]),
+                tree, shardings,
+            )
+        return jax.device_put(tree, shardings)
+
     def _place(params, rule):
         sh = (rule(params, mesh) if rule is not None
               else jax.tree_util.tree_map(lambda _: replicated, params))
-        return jax.device_put(params, sh)
+        return _put(params, sh)
 
     def _opt_on_mesh(tx, params, rule):
         """Optimizer state with adam moments sharded like their params
@@ -87,7 +101,7 @@ def make_gspmd_train_step(
             tx, lambda _leaf, s: s, state, sh,
             transform_non_params=lambda _leaf: replicated,
         )
-        return jax.device_put(state, state_sh)
+        return _put(state, state_sh)
 
     def make_state(params_g, params_d) -> TrainState:
         opt_g = _opt_on_mesh(tx_g, params_g, gen_tp_rule)
@@ -96,7 +110,7 @@ def make_gspmd_train_step(
         params_d = _place(params_d, critic_tp_rule)
         import jax.numpy as jnp
 
-        step0 = jax.device_put(jnp.zeros((), jnp.int32), replicated)
+        step0 = _put(jnp.zeros((), jnp.int32), replicated)
         return TrainState(params_g=params_g, params_d=params_d,
                           opt_g=opt_g, opt_d=opt_d, step=step0)
 

@@ -20,6 +20,7 @@ def main():
     p.add_argument("--process_id", type=int, required=True)
     p.add_argument("--local_devices", type=int, default=4)
     p.add_argument("--steps", type=int, default=3)
+    p.add_argument("--strategy", choices=["shard_map", "gspmd"], default="shard_map")
     args = p.parse_args()
 
     import jax
@@ -43,31 +44,63 @@ def main():
 
     n_global = args.num_processes * args.local_devices
     assert jax.device_count() == n_global, (jax.device_count(), n_global)
-    mesh = make_mesh({"dp": n_global})
 
-    gen, critic = MiniGenerator(), MiniDiscriminator()
     key = jax.random.PRNGKey(0)
-    x0 = np.zeros((1, 16, 2), np.float32)
     tx_g, tx_d = make_adam(1e-4), make_adam(1e-4)
-    state = TrainState.create(gen.init(key, x0), critic.init(key, x0, x0), tx_g, tx_d)
-    state = replicate_state(state, mesh)
 
-    step = make_sharded_train_step(
-        gen.apply, critic.apply, tx_g, tx_d,
-        DatagenConfig.make(frame_length=16, snr_range=(0, 30)),
-        LossConfig(n_critic=2),
-        global_batch_size=4 * n_global,
-        mesh=mesh,
-        donate=False,
-    )
+    if args.strategy == "gspmd":
+        # compiler-partitioned dp x tp over the multi-process mesh:
+        # tensor-parallel full-U-Net kernels, GSPMD-inserted collectives
+        from ofdmgan_tpu.models.full_unet import (
+            FullDiscriminator, FullUNetGenerator, unet_param_shardings,
+        )
+        from ofdmgan_tpu.parallel import make_gspmd_train_step
+
+        mesh = make_mesh({"dp": n_global // 2, "tp": 2})
+        gen = FullUNetGenerator(frame_length=64, levels=3, base_channels=8)
+        critic = FullDiscriminator(frame_length=64, levels=3, base_channels=8)
+        x0 = np.zeros((1, 64, 2), np.float32)
+        make_state, step = make_gspmd_train_step(
+            gen.apply, critic.apply, tx_g, tx_d,
+            DatagenConfig.make(frame_length=64),
+            LossConfig(n_critic=2),
+            global_batch_size=2 * mesh.shape["dp"],
+            mesh=mesh,
+            gen_tp_rule=unet_param_shardings,
+            donate=False,
+        )
+        state = make_state(gen.init(key, x0), critic.init(key, x0, x0))
+    else:
+        mesh = make_mesh({"dp": n_global})
+        gen, critic = MiniGenerator(), MiniDiscriminator()
+        x0 = np.zeros((1, 16, 2), np.float32)
+        state = TrainState.create(gen.init(key, x0), critic.init(key, x0, x0),
+                                  tx_g, tx_d)
+        state = replicate_state(state, mesh)
+        step = make_sharded_train_step(
+            gen.apply, critic.apply, tx_g, tx_d,
+            DatagenConfig.make(frame_length=16, snr_range=(0, 30)),
+            LossConfig(n_critic=2),
+            global_batch_size=4 * n_global,
+            mesh=mesh,
+            donate=False,
+        )
     metrics = {}
     for i in range(args.steps):
         state, metrics = step(state, jax.random.fold_in(key, 100 + i))
 
-    # checksum over every parameter of both nets (replicated arrays are
-    # addressable on every process)
-    leaves = jax.tree_util.tree_leaves((state.params_g, state.params_d))
-    checksum = float(sum(np.sum(np.asarray(jax.device_get(l))) for l in leaves))
+    # checksum over every parameter of both nets, reduced INSIDE jit so it
+    # works for tp-sharded multi-process params too (the jitted sum yields
+    # a fully-replicated scalar every process can read)
+    import jax.numpy as jnp
+
+    @jax.jit
+    def _checksum(pg, pd):
+        leaves = jax.tree_util.tree_leaves((pg, pd))
+        return sum(jnp.sum(l) for l in leaves
+                   if jnp.issubdtype(l.dtype, jnp.floating))
+
+    checksum = float(jax.device_get(_checksum(state.params_g, state.params_d)))
     out = {
         "process_id": args.process_id,
         "process_count": jax.process_count() if args.process_id >= 0 else 1,

@@ -78,3 +78,24 @@ def test_two_process_lockstep_with_single_process():
     np.testing.assert_allclose(r0["checksum"], base["checksum"], rtol=1e-6)
     np.testing.assert_allclose(r0["d_loss"], base["d_loss"], rtol=1e-5)
     np.testing.assert_allclose(r0["g_loss"], base["g_loss"], rtol=1e-5)
+
+
+def test_two_process_gspmd_tensor_parallel():
+    """GSPMD dp x tp over a 2-process mesh: tensor-parallel full-U-Net
+    kernels with compiler-inserted collectives, lockstep with the
+    single-process partitioning of the same global mesh."""
+    port = _free_port()
+    env = _clean_env()
+    common = ["--coordinator", f"localhost:{port}", "--num_processes", "2",
+              "--local_devices", "4", "--steps", "2", "--strategy", "gspmd"]
+    p0 = _run_worker(common + ["--process_id", "0"], env)
+    p1 = _run_worker(common + ["--process_id", "1"], env)
+    r0, r1 = _result(p0), _result(p1)
+    assert r0["global_devices"] == 8 and r0["step"] == 2
+    np.testing.assert_allclose(r0["checksum"], r1["checksum"], rtol=1e-6)
+
+    base = _result(_run_worker(
+        ["--process_id", "-1", "--num_processes", "2", "--local_devices", "4",
+         "--steps", "2", "--strategy", "gspmd"], env))
+    np.testing.assert_allclose(r0["checksum"], base["checksum"], rtol=1e-5)
+    np.testing.assert_allclose(r0["g_loss"], base["g_loss"], rtol=1e-4)
