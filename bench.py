@@ -1,8 +1,11 @@
 #!/usr/bin/env python3
 """Headline benchmark: synthetic I/Q frames/sec/chip through the FULL fused
 CWGAN-GP training step (on-device datagen + 5 critic updates with gradient
-penalty + generator update), reference recipe hyperparameters, float32
-matmul precision (required for WGAN-GP equilibrium on TPU — see CLAUDE.md).
+penalty + generator update), reference recipe hyperparameters,
+tensorfloat32 (bf16x3) matmul precision — validated training-stable over
+the full 500-epoch recipe (reaches the float32 champion's quality;
+results/RESULTS.md §tf32); plain bfloat16 collapses the adversarial
+equilibrium and is not benchmarked.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "frames/s/chip", "vs_baseline": N}
@@ -35,6 +38,19 @@ def main():
     ap.add_argument("--pallas_datagen", action="store_true",
                     help="generate batches with the Pallas kernel "
                          "(ops/pallas_datagen.py) instead of the XLA lowering")
+    ap.add_argument("--pallas_critic", action="store_true",
+                    help="fused hand-written critic-gradient kernel "
+                         "(ops/pallas_critic.py; exact-parity alternative "
+                         "path — measured slower than the XLA lowering)")
+    ap.add_argument("--matmul_precision", default="tensorfloat32",
+                    choices=["float32", "tensorfloat32"],
+                    help="MXU precision. tensorfloat32 (bf16x3) is the "
+                         "benchmarked default: the full 500-epoch reference "
+                         "recipe trains to val L1 0.122 under it — equal to "
+                         "the float32 champion — with the Wasserstein "
+                         "estimate bounded throughout (results/RESULTS.md "
+                         "§tf32). bfloat16 (1-pass) remains excluded: it "
+                         "collapses the adversarial equilibrium.")
     args = ap.parse_args()
 
     import jax
@@ -61,6 +77,8 @@ def main():
             LossConfig(),  # n_critic=5, gp 10, rec 100 — the reference recipe
             batch_size=batch, scan_steps=scan_steps,
             use_pallas_datagen=args.pallas_datagen,
+            use_pallas_critic=args.pallas_critic,
+            matmul_precision=args.matmul_precision,
         ),
         donate_argnums=0,
     )

@@ -120,8 +120,17 @@ def build_train_step(
     matmul_precision: str = "float32",
     use_pallas_datagen: bool = False,
     batch_fn: Callable | None = None,
+    use_pallas_critic: bool = False,
+    critic_leaky_slope: float = 0.2,
+    pallas_interpret: bool = False,
 ) -> Callable[[TrainState, jax.Array], Tuple[TrainState, dict]]:
     """Build the (unjitted) fused outer step ``(state, key) -> (state, metrics)``.
+
+    ``use_pallas_critic`` swaps each critic update's value_and_grad for the
+    hand-fused Pallas kernel (ops/pallas_critic.py) — the SAME stochastic
+    function (the GP epsilons come from the identical jax.random stream),
+    just computed in VMEM; exact parity is tested in
+    tests/test_pallas_critic.py. Mini 16-sample architecture only.
 
     ``batch_fn(key, n) -> {"noisy", "clean", ...}`` overrides the synthetic
     datagen entirely (e.g. the image-backed dataset's ``sample_batch``).
@@ -193,9 +202,24 @@ def build_train_step(
                 batch = gen_batch(k_b, batch_size)
             else:
                 batch, k_gp = batch0, k
-            (loss, aux), grads = jax.value_and_grad(critic_loss_fn, has_aux=True)(
-                params_d, state.params_g, gen_apply, critic_apply, batch, k_gp, loss_cfg
-            )
+            if use_pallas_critic:
+                from ..ops.pallas_critic import critic_grad_pallas, pack_h0
+
+                noisy, clean = batch["noisy"], batch["clean"]
+                fake = jax.lax.stop_gradient(gen_apply(state.params_g, noisy))
+                # identical epsilon stream to compute_gradient_penalty
+                eps = jax.random.uniform(
+                    k_gp, (noisy.shape[0], 1, 1), noisy.dtype)[:, 0, 0]
+                grads, aux = critic_grad_pallas(
+                    params_d, pack_h0(clean, noisy), pack_h0(fake, noisy),
+                    eps, loss_cfg, leaky_slope=critic_leaky_slope,
+                    matmul_precision=matmul_precision,
+                    interpret=pallas_interpret,
+                )
+            else:
+                (loss, aux), grads = jax.value_and_grad(critic_loss_fn, has_aux=True)(
+                    params_d, state.params_g, gen_apply, critic_apply, batch, k_gp, loss_cfg
+                )
             grads, aux = reduce_tree((grads, aux))
             updates, opt_d = tx_d.update(grads, opt_d, params_d)
             params_d = optax.apply_updates(params_d, updates)
@@ -250,12 +274,15 @@ def make_train_step(
     matmul_precision: str = "float32",
     use_pallas_datagen: bool = False,
     batch_fn: Callable | None = None,
+    use_pallas_critic: bool = False,
+    pallas_interpret: bool = False,
 ) -> Callable[[TrainState, jax.Array], Tuple[TrainState, dict]]:
     """Single-device jitted fused train step (see ``build_train_step``)."""
     step_fn = build_train_step(
         gen_apply, critic_apply, tx_g, tx_d, dg_cfg, loss_cfg, batch_size,
         scan_steps, matmul_precision=matmul_precision,
         use_pallas_datagen=use_pallas_datagen, batch_fn=batch_fn,
+        use_pallas_critic=use_pallas_critic, pallas_interpret=pallas_interpret,
     )
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
