@@ -108,3 +108,27 @@ class TestFullModelCLI:
         meta = json.loads(
             (workdir / "export" / "generator" / "metadata.json").read_text())
         assert "enc1_1" in meta["layers"] and "final" in meta["layers"]
+
+
+class TestEnhanceCLI:
+    def test_enhance_float_and_int(self, workdir, tmp_path):
+        rng = np.random.default_rng(0)
+        np.save(tmp_path / "in_ncl.npy",
+                (rng.normal(size=(20, 16, 2)) * 0.3).astype(np.float32))
+        np.save(tmp_path / "in_ref.npy",
+                (rng.normal(size=(20, 2, 16)) * 0.3).astype(np.float32))
+        ckpt = workdir / "checkpoints" / "final_model"
+        r = run([str(REPO / "enhance.py"), "--checkpoint", str(ckpt),
+                 "--input", str(tmp_path / "in_ncl.npy"),
+                 "--output", str(tmp_path / "out1.npy"), "--platform", "cpu"],
+                cwd=workdir)
+        assert r.returncode == 0, r.stderr[-1500:]
+        assert np.load(tmp_path / "out1.npy").shape == (20, 16, 2)
+        # reference layout preserved + integer datapath
+        r2 = run([str(REPO / "enhance.py"), "--checkpoint", str(ckpt),
+                  "--input", str(tmp_path / "in_ref.npy"),
+                  "--output", str(tmp_path / "out2.npy"), "--int_mode", "rtl"],
+                 cwd=workdir)
+        assert r2.returncode == 0, r2.stderr[-1500:]
+        out2 = np.load(tmp_path / "out2.npy")
+        assert out2.shape == (20, 2, 16) and np.isfinite(out2).all()
