@@ -17,6 +17,9 @@ to ``[L*C]``, i.e. index ``t*C + c``.
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 
 
@@ -44,20 +47,71 @@ def conv1d_dense_matrix(w: jnp.ndarray, l_in: int, stride: int, padding: int) ->
     return a
 
 
+# Lane packing: a [B, F]x[F, F'] micro-matmul with F, F' <= 64 lights up
+# only (F x F')/128^2 of the MXU systolic array, so packing p =
+# 128//max(F, F') consecutive frames per row against the block-diagonal
+# kron(I_p, A) looked like a 2x win on paper. MEASURED RESULT (v5e, full
+# train step, hard-synced): 0.5M frames/s vs 10.5M unpacked — a 20x
+# REGRESSION despite the compiled program showing only the expected 1.8x
+# FLOP increase and equal bytes (XLA cost analysis). The [B, 64] ->
+# [B/2, 128] reshapes are row-major no-ops on paper but cross the TPU's
+# (8, 128) physical tile boundary, so every layer transition compiles to a
+# relayout shuffle that dwarfs the MXU savings. Kept OFF; the code path +
+# numerics test remain as the record of the experiment. If revisited, the
+# packed layout must be carried END-TO-END through the model (including
+# elementwise ops and datagen) so no per-layer relayout exists.
+LANE_PACK = False
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(2,))
+def _packed_matmul(x: jnp.ndarray, a: jnp.ndarray, pack: int) -> jnp.ndarray:
+    """``x [B, F] @ a [F, G]`` computed as ``pack`` frames per 128-lane row
+    against the block-diagonal ``kron(I_pack, a)``.
+
+    custom_jvp so no adjoint ever differentiates THROUGH the kron
+    construction (naive autodiff of it is ~20x slower than the unpacked
+    matmul): the tangent w.r.t. ``a`` uses the mathematically-equal
+    UNPACKED form, whose transpose is the efficient [F,B]@[B,G]
+    accumulation; the tangent w.r.t. ``x`` recurses into the packed form.
+    The rule is built from plain linear primitives, so it remains
+    arbitrarily differentiable (the GP's grad-of-grad needs second order).
+    """
+    b, f = x.shape
+    a_bd = jnp.kron(jnp.eye(pack, dtype=a.dtype), a)
+    y = jnp.matmul(x.reshape(b // pack, pack * f), a_bd,
+                   preferred_element_type=x.dtype)
+    return y.reshape(b, a.shape[1])
+
+
+@_packed_matmul.defjvp
+def _packed_matmul_jvp(pack, primals, tangents):
+    x, a = primals
+    dx, da = tangents
+    y = _packed_matmul(x, a, pack)
+    dy = (_packed_matmul(dx, a, pack)
+          + jnp.matmul(x, da, preferred_element_type=x.dtype))
+    return y, dy
+
+
 def conv1d_via_matmul(
     x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None, stride: int, padding: int
 ) -> jnp.ndarray:
     """Channels-last conv1d ``[B, L, C_in] -> [B, L_out, C_out]`` lowered to a
-    single dense matmul on the flattened frame."""
+    single dense matmul on the flattened frame (lane-packed when possible)."""
     batch_shape = x.shape[:-2]
     l_in, cin = x.shape[-2:]
     k, wcin, cout = w.shape
     assert wcin == cin, (wcin, cin)
     a = conv1d_dense_matrix(w, l_in, stride, padding)
     l_out = conv1d_output_length(l_in, k, stride, padding)
-    y = jnp.matmul(
-        x.reshape(*batch_shape, l_in * cin), a, preferred_element_type=x.dtype
-    )
+    fin, fout = l_in * cin, l_out * cout
+    xf = x.reshape(*batch_shape, fin)
+    pack = 128 // max(fin, fout) if LANE_PACK else 1
+    if (pack > 1 and len(batch_shape) == 1
+            and isinstance(batch_shape[0], int) and batch_shape[0] % pack == 0):
+        y = _packed_matmul(xf, a, pack)
+    else:
+        y = jnp.matmul(xf, a, preferred_element_type=x.dtype)
     y = y.reshape(*batch_shape, l_out, cout)
     if b is not None:
         y = y + b

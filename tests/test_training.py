@@ -196,3 +196,36 @@ class TestImageDatasetDP:
         diffs = jax.tree_util.tree_map(
             lambda a, b: float(np.max(np.abs(a - b))), before, after)
         assert max(jax.tree_util.tree_leaves(diffs)) > 0
+
+
+class TestLanePacking:
+    def test_packed_matmul_numerics_and_grads(self):
+        """The lane-packed matmul path (ops/dense_conv.LANE_PACK — off by
+        default, see the measured-regression note there) must stay
+        numerically identical to the unpacked lowering, including first and
+        second derivatives (the GP needs grad-of-grad)."""
+        import ofdmgan_tpu.ops.dense_conv as dc
+
+        k = jax.random.PRNGKey(3)
+        x = jax.random.normal(k, (64, 16, 4))
+        w = jax.random.normal(jax.random.fold_in(k, 1), (3, 4, 8)) * 0.3
+        b = jax.random.normal(jax.random.fold_in(k, 2), (8,)) * 0.1
+
+        def loss(w, x, packed):
+            old = dc.LANE_PACK
+            dc.LANE_PACK = packed
+            try:
+                y = dc.conv1d_via_matmul(x, w, b, 2, 1)
+            finally:
+                dc.LANE_PACK = old
+            return jnp.sum(jnp.tanh(y) ** 2)
+
+        for fn in (loss,
+                   lambda w, x, p: jnp.sum(jax.grad(loss, argnums=1)(w, x, p) ** 2)):
+            ref = jax.jit(lambda w, x: fn(w, x, False))(w, x)
+            got = jax.jit(lambda w, x: fn(w, x, True))(w, x)
+            np.testing.assert_allclose(float(got), float(ref), rtol=1e-5)
+            gr = jax.jit(jax.grad(lambda w, x: fn(w, x, False)))(w, x)
+            gg = jax.jit(jax.grad(lambda w, x: fn(w, x, True)))(w, x)
+            np.testing.assert_allclose(np.asarray(gg), np.asarray(gr),
+                                       rtol=1e-4, atol=1e-6)
