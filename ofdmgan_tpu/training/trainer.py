@@ -67,6 +67,7 @@ class Trainer:
         generator=None,
         discriminator=None,
         matmul_precision: str = "float32",
+        ema_decay: float = 0.0,
     ):
         """``generator``/``discriminator`` inject alternative model families
         (e.g. the full 1024-sample U-Net, models/full_unet.py) in place of
@@ -181,6 +182,28 @@ class Trainer:
         else:
             self._eval = make_eval_step(self.generator.apply, self.dg_cfg, self.batch_size)
 
+        # Exponential moving average of generator weights (StyleGAN-style;
+        # no reference counterpart — the reference evaluates raw weights).
+        # The EMA is maintained per dispatched scan chunk with the per-step
+        # decay compounded (decay**scan_steps), i.e. an exact EMA of the
+        # chunk-boundary parameter trajectory.
+        self.ema_decay = float(ema_decay)
+        self.ema_params_g = None
+        if self.ema_decay > 0.0:
+            # independent host copy: the fused step DONATES the train state,
+            # so aliasing state.params_g here would leave the EMA tree
+            # pointing at deleted device buffers after the first step
+            self.ema_params_g = jax.tree_util.tree_map(
+                np.asarray, jax.device_get(self.state.params_g))
+            d_chunk = self.ema_decay ** self.scan_steps
+
+            @jax.jit
+            def _ema_update(ema, params):
+                return jax.tree_util.tree_map(
+                    lambda e, p: d_chunk * e + (1.0 - d_chunk) * p, ema, params)
+
+            self._ema_update = _ema_update
+
         # multi-process: only process 0 writes checkpoints/logs (all
         # processes hold identical replicated state, so nothing is lost)
         self.is_main_process = jax.process_index() == 0
@@ -205,6 +228,9 @@ class Trainer:
         metrics = {}
         for _ in range(self.steps_per_epoch // self.scan_steps):
             self.state, metrics = self._step(self.state, self._next_key())
+            if self.ema_params_g is not None:
+                self.ema_params_g = self._ema_update(self.ema_params_g,
+                                                     self.state.params_g)
         return {k: float(v) for k, v in metrics.items()}
 
     def profile_steps(self, n_chunks: int = 2, trace_dir: Optional[str] = None) -> str:
@@ -222,10 +248,17 @@ class Trainer:
 
     def validate(self) -> Dict[str, float]:
         totals = {"rec_loss": 0.0, "mse": 0.0}
+        if self.ema_params_g is not None:
+            totals.update({"rec_loss_ema": 0.0, "mse_ema": 0.0})
         for _ in range(self.val_batches):
-            m = self._eval(self.state.params_g, self._next_key())
-            for k in totals:
-                totals[k] += float(m[k])
+            k = self._next_key()
+            m = self._eval(self.state.params_g, k)
+            totals["rec_loss"] += float(m["rec_loss"])
+            totals["mse"] += float(m["mse"])
+            if self.ema_params_g is not None:
+                me = self._eval(self.ema_params_g, k)  # same val key: paired
+                totals["rec_loss_ema"] += float(me["rec_loss"])
+                totals["mse_ema"] += float(me["mse"])
         return {k: v / self.val_batches for k, v in totals.items()}
 
     def save_checkpoint(self, path: str, is_best: bool = False):
@@ -237,6 +270,9 @@ class Trainer:
             shutil.rmtree(path)
         state = jax.device_get(self.state)
         self._ckptr.save(str(path), state)
+        if self.ema_params_g is not None:
+            self._ckptr.save(str(path / "ema_params_g"),
+                             jax.device_get(self.ema_params_g))
         sidecar = {
             "epoch": self.current_epoch,
             "global_step": int(state.step),
@@ -259,6 +295,10 @@ class Trainer:
         self.state = state
         if self.mesh is not None:
             self.state = replicate_state(self.state, self.mesh)
+        ema_path = path / "ema_params_g"
+        if self.ema_params_g is not None and ema_path.exists():
+            self.ema_params_g = self._ckptr.restore(
+                str(ema_path), item=jax.device_get(template.params_g))
         sidecar = json.loads((path / "trainer_state.json").read_text())
         self.current_epoch = sidecar["epoch"]
         self.best_val_loss = sidecar["best_val_loss"]
@@ -302,14 +342,19 @@ class Trainer:
                 "rec_loss": tm["rec_loss"], "gp": tm["gradient_penalty"],
             }, step)
             self.logger.log_scalars("val", vm, epoch)
+            ema_txt = (f" | EMA L1 {vm['rec_loss_ema']:.4f}"
+                       if "rec_loss_ema" in vm else "")
             print(f"Epoch {epoch}: D {tm['d_loss']:.4f} G {tm['g_loss']:.4f} "
                   f"W {tm['wasserstein_distance']:.4f} L1 {tm['rec_loss']:.4f} | "
-                  f"val L1 {vm['rec_loss']:.4f} MSE {vm['mse']:.4f}")
+                  f"val L1 {vm['rec_loss']:.4f} MSE {vm['mse']:.4f}{ema_txt}")
 
             if (epoch + 1) % self.tp["checkpoint_interval"] == 0:
                 self.save_checkpoint(str(ckpt_dir / f"checkpoint_epoch_{epoch+1}"))
-            if self.tp["save_best"] and vm["rec_loss"] < self.best_val_loss:
-                self.best_val_loss = vm["rec_loss"]
+            # best-model tracking considers the EMA generator too (the
+            # checkpoint carries both parameter sets)
+            val_best = min(vm["rec_loss"], vm.get("rec_loss_ema", float("inf")))
+            if self.tp["save_best"] and val_best < self.best_val_loss:
+                self.best_val_loss = val_best
                 self.save_checkpoint(str(ckpt_dir / f"checkpoint_epoch_{epoch+1}"), is_best=True)
 
         print(f"Training complete in {(time.time()-t0)/3600:.2f} hours")

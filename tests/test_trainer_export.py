@@ -75,6 +75,37 @@ class TestTrainer:
         m = tr.train_epoch(0)
         assert np.isfinite(m["d_loss"])
 
+    def test_ema_tracks_saves_and_restores(self, tmp_path):
+        cfg = _mini_config(tmp_path)
+        tr = Trainer(config=cfg, samples_per_epoch=32, val_samples=16,
+                     data_parallel=1, ema_decay=0.9)
+        init = jax.device_get(tr.ema_params_g)
+        tr.train_epoch(0)
+        # EMA moved but is NOT equal to the raw params (it lags the trajectory)
+        ema = jax.device_get(tr.ema_params_g)
+        raw = jax.device_get(tr.state.params_g)
+        moved = any(
+            not np.array_equal(a, b)
+            for a, b in zip(jax.tree_util.tree_leaves(init), jax.tree_util.tree_leaves(ema))
+        )
+        lags = any(
+            not np.allclose(a, b)
+            for a, b in zip(jax.tree_util.tree_leaves(ema), jax.tree_util.tree_leaves(raw))
+        )
+        assert moved and lags
+        # validation reports both raw and EMA metrics, all finite
+        vm = tr.validate()
+        assert {"rec_loss", "mse", "rec_loss_ema", "mse_ema"} <= set(vm)
+        assert all(np.isfinite(v) for v in vm.values())
+        # checkpoint round-trips the EMA tree
+        tr.save_checkpoint(str(tmp_path / "ckpt" / "e1"))
+        tr2 = Trainer(config=cfg, samples_per_epoch=32, val_samples=16,
+                      data_parallel=1, ema_decay=0.9)
+        tr2.load_checkpoint(str(tmp_path / "ckpt" / "e1"))
+        for a, b in zip(jax.tree_util.tree_leaves(ema),
+                        jax.tree_util.tree_leaves(jax.device_get(tr2.ema_params_g))):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
 
 class TestExportFormat:
     def test_export_matches_reference_byte_layout(self, tmp_path):

@@ -83,6 +83,15 @@ def main():
                              "L1-only pretraining; the critic still trains)")
     parser.add_argument("--rec_weight", type=float, default=None,
                         help="reconstruction (L1) loss weight override")
+    parser.add_argument("--lr_step", type=int, default=None,
+                        help="StepLR decay interval in epochs override "
+                             "(reference scheduler.step_size, config.yaml)")
+    parser.add_argument("--lr_gamma", type=float, default=None,
+                        help="StepLR decay factor override (scheduler.gamma)")
+    parser.add_argument("--ema", type=float, default=0.0, metavar="DECAY",
+                        help="maintain an EMA of generator weights with this "
+                             "per-step decay (e.g. 0.999) and validate it "
+                             "alongside the raw weights; 0 disables")
     parser.add_argument("--matmul_precision",
                         choices=["float32", "tensorfloat32", "bfloat16"],
                         default="float32",
@@ -130,6 +139,10 @@ def main():
         config.setdefault("training", {}).setdefault("loss", {})["adversarial_weight"] = args.adv_weight
     if args.rec_weight is not None:
         config.setdefault("training", {}).setdefault("loss", {})["reconstruction_weight"] = args.rec_weight
+    if args.lr_step is not None:
+        config.setdefault("training", {}).setdefault("scheduler", {})["step_size"] = args.lr_step
+    if args.lr_gamma is not None:
+        config.setdefault("training", {}).setdefault("scheduler", {})["gamma"] = args.lr_gamma
     if args.model == "full" and args.frame_length is None:
         args.frame_length = 1024
     if args.frame_length:
@@ -200,6 +213,7 @@ def main():
         qat=args.qat or args.rtl_qat,
         rtl_faithful=args.rtl_qat,
         matmul_precision=args.matmul_precision,
+        ema_decay=args.ema,
     )
     from ofdmgan_tpu.models import count_parameters
 
