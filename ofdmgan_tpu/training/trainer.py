@@ -287,6 +287,23 @@ class Trainer:
             shutil.copytree(path, best)
             self._last_best_path = str(best)
 
+    def init_params_from(self, path: str):
+        """Warm-start ONLY the model parameters from a checkpoint: fresh
+        optimizer states, schedule position 0, epoch 0. This is the right
+        entry into a new training stage (e.g. GAN finetune after supervised
+        pretraining) — plain resume would keep the previous stage's Adam
+        moments and an already-decayed LR schedule position."""
+        path = Path(path).absolute()
+        template = jax.device_get(self.state)
+        loaded = self._ckptr.restore(str(path), item=template)
+        self.state = TrainState.create(loaded.params_g, loaded.params_d,
+                                       self.tx_g, self.tx_d)
+        if self.mesh is not None:
+            self.state = replicate_state(self.state, self.mesh)
+        if self.ema_params_g is not None:
+            self.ema_params_g = jax.tree_util.tree_map(
+                np.asarray, jax.device_get(loaded.params_g))
+
     def load_checkpoint(self, path: str):
         """Resume everything incl. optimizer/schedule state (train.py:432-445)."""
         path = Path(path).absolute()

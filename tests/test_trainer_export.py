@@ -75,6 +75,32 @@ class TestTrainer:
         m = tr.train_epoch(0)
         assert np.isfinite(m["d_loss"])
 
+    def test_init_from_warm_starts_params_with_fresh_optimizer(self, tmp_path):
+        cfg = _mini_config(tmp_path)
+        tr = Trainer(config=cfg, samples_per_epoch=32, val_samples=16, data_parallel=1)
+        tr.train_epoch(0)
+        tr.save_checkpoint(str(tmp_path / "ckpt" / "stage1"))
+        trained = jax.device_get(tr.state.params_g)
+
+        tr2 = Trainer(config=cfg, samples_per_epoch=32, val_samples=16,
+                      data_parallel=1, ema_decay=0.9)
+        tr2.init_params_from(str(tmp_path / "ckpt" / "stage1"))
+        # params transferred ...
+        for a, b in zip(jax.tree_util.tree_leaves(trained),
+                        jax.tree_util.tree_leaves(jax.device_get(tr2.state.params_g))):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # ... but optimizer state and step are FRESH (stage change)
+        assert int(jax.device_get(tr2.state.step)) == 0
+        mu = jax.tree_util.tree_leaves(jax.device_get(tr2.state.opt_g))
+        assert all(np.all(np.asarray(x) == 0) for x in mu if hasattr(x, "shape") and np.asarray(x).ndim > 0)
+        # EMA seeded from the warm-start params
+        for a, b in zip(jax.tree_util.tree_leaves(trained),
+                        jax.tree_util.tree_leaves(tr2.ema_params_g)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # and training proceeds
+        m = tr2.train_epoch(0)
+        assert np.isfinite(m["d_loss"])
+
     def test_ema_tracks_saves_and_restores(self, tmp_path):
         cfg = _mini_config(tmp_path)
         tr = Trainer(config=cfg, samples_per_epoch=32, val_samples=16,

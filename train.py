@@ -23,6 +23,11 @@ def main():
     parser.add_argument("--batch_size", type=int, default=None)
     parser.add_argument("--lr", type=float, default=None)
     parser.add_argument("--resume", type=str, default=None)
+    parser.add_argument("--init_from", type=str, default=None,
+                        help="warm-start model params from a checkpoint with "
+                             "FRESH optimizers/schedules/epoch (stage change, "
+                             "e.g. GAN finetune after supervised pretraining); "
+                             "contrast --resume, which restores everything")
     parser.add_argument("--experiment", type=str, default=None)
     parser.add_argument("--synthetic", action="store_true",
                         help="Use synthetic on-device data (default when no image dir)")
@@ -225,6 +230,9 @@ def main():
     if args.resume:
         print(f"Resuming from {args.resume}")
         trainer.load_checkpoint(args.resume)
+    elif args.init_from:
+        print(f"Warm-starting params from {args.init_from} (fresh optimizers)")
+        trainer.init_params_from(args.init_from)
 
     if args.profile:
         path = trainer.profile_steps(args.profile)
