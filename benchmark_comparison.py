@@ -16,7 +16,11 @@ def main():
     parser.add_argument("--checkpoint", type=str, default="checkpoints/best_model",
                         help="Orbax checkpoint directory of a trained GAN")
     parser.add_argument("--n_trials", type=int, default=100)
-    parser.add_argument("--frame_length", type=int, default=16)
+    parser.add_argument("--model", choices=["mini", "full"], default="mini",
+                        help="generator family: mini (258-param, 16-sample) or "
+                             "full (3.94M-param 1024-sample U-Net)")
+    parser.add_argument("--frame_length", type=int, default=None,
+                        help="frame length (default 16 for mini, 1024 for full)")
     parser.add_argument("--snr_min", type=float, default=0)
     parser.add_argument("--snr_max", type=float, default=30)
     parser.add_argument("--snr_step", type=float, default=5)
@@ -66,10 +70,30 @@ def main():
     out = Path(args.output_dir)
     out.mkdir(parents=True, exist_ok=True)
 
-    gen = MiniGenerator(frame_length=args.frame_length,
-                        qat=args.qat or args.rtl_qat,
-                        rtl_faithful=args.rtl_qat)
-    if os.path.exists(args.checkpoint):
+    if args.frame_length is None:
+        args.frame_length = 1024 if args.model == "full" else 16
+    if args.model == "full":
+        if args.qat or args.rtl_qat or args.quantized:
+            parser.error("--qat/--rtl_qat/--quantized apply to the mini "
+                         "(RTL-deployable) generator only")
+        from ofdmgan_tpu.models.full_unet import FullUNetGenerator
+
+        gen = FullUNetGenerator(frame_length=args.frame_length)
+    else:
+        gen = MiniGenerator(frame_length=args.frame_length,
+                            qat=args.qat or args.rtl_qat,
+                            rtl_faithful=args.rtl_qat)
+    if os.path.exists(args.checkpoint) and args.checkpoint.endswith(".npz"):
+        # flat champion artifact written by scripts/extract_champion.py
+        print(f"Loading npz weights: {args.checkpoint}")
+        flat = np.load(args.checkpoint)
+        params_g = {}
+        for path, arr in flat.items():
+            node, keys = params_g, path.split("/")
+            for k in keys[:-1]:
+                node = node.setdefault(k, {})
+            node[keys[-1]] = arr
+    elif os.path.exists(args.checkpoint):
         import orbax.checkpoint as ocp
 
         print(f"Loading checkpoint: {args.checkpoint}")
