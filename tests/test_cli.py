@@ -110,6 +110,23 @@ class TestFullModelCLI:
         assert "enc1_1" in meta["layers"] and "final" in meta["layers"]
 
 
+    def test_benchmark_full_model(self, workdir):
+        """benchmark_comparison --model full: tiny frame so the 5-level U-Net
+        stays cheap on CPU; untrained-weights path (the reference's own
+        'architecture verification' mode, benchmark_comparison.py:398-400)."""
+        r = run([str(REPO / "benchmark_comparison.py"), "--platform", "cpu",
+                 "--model", "full", "--frame_length", "64", "--nonlinear",
+                 "--n_trials", "2", "--snr_min", "10", "--snr_max", "10",
+                 "--snr_step", "30", "--output_dir", str(workdir / "bench_full")],
+                cwd=workdir)
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "Non-Linear Impairments" in r.stdout
+        # quantized deployment paths are mini-only
+        r2 = run([str(REPO / "benchmark_comparison.py"), "--platform", "cpu",
+                  "--model", "full", "--quantized"], cwd=workdir)
+        assert r2.returncode != 0
+
+
 class TestEnhanceCLI:
     def test_enhance_float_and_int(self, workdir, tmp_path):
         rng = np.random.default_rng(0)
