@@ -1,0 +1,110 @@
+#!/usr/bin/env python3
+"""High-sample validation of trained generator checkpoints.
+
+Per-epoch trainer validation uses ~1 batch (noisy to ±0.003 L1), so "best
+val" selection inside a run has survivorship bias. This tool re-evaluates
+candidate checkpoints on a LARGE fixed-seed validation set (default 100
+batches x 512 frames = 51,200 frames) so champions are ranked honestly.
+
+Usage:
+  python scripts/eval_checkpoint.py --model full --nonlinear \
+      --checkpoint /tmp/run/best_model [--ema] [--batches 100]
+Accepts Orbax checkpoint dirs or flat .npz artifacts.
+"""
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))  # repo root
+
+
+def load_params(path: str, ema: bool):
+    import numpy as np
+
+    if path.endswith(".npz"):
+        flat = np.load(path)
+        params = {}
+        for p, arr in flat.items():
+            node, keys = params, p.split("/")
+            for k in keys[:-1]:
+                node = node.setdefault(k, {})
+            node[keys[-1]] = arr
+        return params
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    if ema:
+        return ckptr.restore(str(Path(path).absolute() / "ema_params_g"))
+    restored = ckptr.restore(str(Path(path).absolute()))
+    return restored["params_g"] if "params_g" in restored else restored
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--checkpoint", required=True, nargs="+",
+                    help="one or more checkpoint dirs / .npz files")
+    ap.add_argument("--ema", action="store_true",
+                    help="evaluate the EMA generator subtree of each dir")
+    ap.add_argument("--model", choices=["mini", "full"], default="mini")
+    ap.add_argument("--frame_length", type=int, default=None)
+    ap.add_argument("--nonlinear", action="store_true")
+    ap.add_argument("--pa_saturation", type=float, default=0.8)
+    ap.add_argument("--batch_size", type=int, default=512)
+    ap.add_argument("--batches", type=int, default=100)
+    ap.add_argument("--seed", type=int, default=1234)
+    ap.add_argument("--platform", type=str, default=None)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ofdmgan_tpu.signal.datagen import DatagenConfig
+    from ofdmgan_tpu.training.wgan_gp import make_eval_step
+
+    if args.frame_length is None:
+        args.frame_length = 1024 if args.model == "full" else 16
+    if args.model == "full":
+        from ofdmgan_tpu.models.full_unet import FullUNetGenerator
+
+        gen = FullUNetGenerator(frame_length=args.frame_length)
+    else:
+        from ofdmgan_tpu.models import MiniGenerator
+
+        gen = MiniGenerator(frame_length=args.frame_length)
+
+    dg = DatagenConfig.make(frame_length=args.frame_length,
+                            snr_range=(0, 30), nonlinear=args.nonlinear,
+                            pa_saturation=args.pa_saturation)
+    eval_step = make_eval_step(gen.apply, dg, args.batch_size)
+    keys = jax.random.split(jax.random.PRNGKey(args.seed), args.batches)
+
+    results = {}
+    for ck in args.checkpoint:
+        params = load_params(ck, args.ema)
+        l1s, mses = [], []
+        for k in keys:  # same key sequence for every checkpoint: paired eval
+            m = eval_step(params, k)
+            l1s.append(float(m["rec_loss"]))
+            mses.append(float(m["mse"]))
+        n = args.batches
+        results[ck] = {
+            "val_l1": float(np.mean(l1s)),
+            "val_l1_sem": float(np.std(l1s) / np.sqrt(n)),
+            "val_mse": float(np.mean(mses)),
+            "frames": n * args.batch_size,
+            "weights": "ema" if args.ema else "raw",
+        }
+        r = results[ck]
+        print(f"{ck}: val L1 {r['val_l1']:.5f} ± {r['val_l1_sem']:.5f} "
+              f"MSE {r['val_mse']:.5f}  ({r['frames']} frames, {r['weights']})")
+    print(json.dumps(results, indent=2))
+
+
+if __name__ == "__main__":
+    main()
