@@ -43,8 +43,11 @@ def load_params(path: str, ema: bool):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--checkpoint", required=True, nargs="+",
+    ap.add_argument("--checkpoint", nargs="+", default=[],
                     help="one or more checkpoint dirs / .npz files")
+    ap.add_argument("--identity", action="store_true",
+                    help="also report the identity-map baseline (output = "
+                         "noisy input) on the same paired batches")
     ap.add_argument("--ema", action="store_true",
                     help="evaluate the EMA generator subtree of each dir")
     ap.add_argument("--model", choices=["mini", "full"], default="mini")
@@ -83,26 +86,32 @@ def main():
                             pa_saturation=args.pa_saturation)
     eval_step = make_eval_step(gen.apply, dg, args.batch_size)
     keys = jax.random.split(jax.random.PRNGKey(args.seed), args.batches)
+    n = args.batches
 
-    results = {}
-    for ck in args.checkpoint:
-        params = load_params(ck, args.ema)
+    def sweep(name, step, params, weights):
         l1s, mses = [], []
-        for k in keys:  # same key sequence for every checkpoint: paired eval
-            m = eval_step(params, k)
+        for k in keys:  # same key sequence for every candidate: paired eval
+            m = step(params, k)
             l1s.append(float(m["rec_loss"]))
             mses.append(float(m["mse"]))
-        n = args.batches
-        results[ck] = {
+        r = {
             "val_l1": float(np.mean(l1s)),
             "val_l1_sem": float(np.std(l1s) / np.sqrt(n)),
             "val_mse": float(np.mean(mses)),
             "frames": n * args.batch_size,
-            "weights": "ema" if args.ema else "raw",
+            "weights": weights,
         }
-        r = results[ck]
-        print(f"{ck}: val L1 {r['val_l1']:.5f} ± {r['val_l1_sem']:.5f} "
-              f"MSE {r['val_mse']:.5f}  ({r['frames']} frames, {r['weights']})")
+        print(f"{name}: val L1 {r['val_l1']:.5f} ± {r['val_l1_sem']:.5f} "
+              f"MSE {r['val_mse']:.5f}  ({r['frames']} frames, {weights})")
+        return r
+
+    results = {}
+    if args.identity:
+        id_step = make_eval_step(lambda params, noisy: noisy, dg, args.batch_size)
+        results["identity"] = sweep("identity", id_step, {}, "—")
+    for ck in args.checkpoint:
+        results[ck] = sweep(ck, eval_step, load_params(ck, args.ema),
+                            "ema" if args.ema else "raw")
     print(json.dumps(results, indent=2))
 
 
