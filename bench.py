@@ -43,7 +43,8 @@ def main():
                          "(ops/pallas_critic.py; exact-parity alternative "
                          "path — measured slower than the XLA lowering)")
     ap.add_argument("--matmul_precision", default="tensorfloat32",
-                    choices=["float32", "tensorfloat32"],
+                    choices=["float32", "tensorfloat32", "bf16_tf32gp",
+                             "bf16_f32gp"],
                     help="MXU precision. tensorfloat32 (bf16x3) is the "
                          "benchmarked default: the full 500-epoch reference "
                          "recipe trains to val L1 0.122 under it — equal to "

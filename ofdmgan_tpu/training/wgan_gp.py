@@ -70,14 +70,25 @@ def critic_loss_fn(
     batch,
     key: jax.Array,
     cfg: LossConfig,
+    gp_precision: str | None = None,
 ):
-    """L_D = E[D(fake)] - E[D(real)] + λ·GP (train.py:219-253)."""
+    """L_D = E[D(fake)] - E[D(real)] + λ·GP (train.py:219-253).
+
+    ``gp_precision`` raises the MXU matmul precision for JUST the
+    gradient-penalty chain (forward + nested ∇ₓD + its parameter gradients —
+    the context is active while this subgraph is traced, and transposed dots
+    inherit the primal dot's precision), letting the rest of the critic step
+    run at a cheaper precision (the "mixed" modes; see build_train_step)."""
     noisy, clean = batch["noisy"], batch["clean"]
     fake = jax.lax.stop_gradient(gen_apply(params_g, noisy))
     d_real = critic_apply(params_d, clean, noisy)
     d_fake = critic_apply(params_d, fake, noisy)
     wasserstein = jnp.mean(d_fake) - jnp.mean(d_real)
-    gp = compute_gradient_penalty(critic_apply, params_d, clean, fake, noisy, key)
+    if gp_precision is None:
+        gp = compute_gradient_penalty(critic_apply, params_d, clean, fake, noisy, key)
+    else:
+        with jax.default_matmul_precision(gp_precision):
+            gp = compute_gradient_penalty(critic_apply, params_d, clean, fake, noisy, key)
     loss = wasserstein + cfg.gp_weight * gp
     aux = {
         "d_loss": loss,
@@ -141,13 +152,24 @@ def build_train_step(
     all replicas apply identical updates — the XLA-collective equivalent of
     a distributed all-reduce data-parallel step (SURVEY.md §2.4/§5.8).
 
-    ``matmul_precision``: WGAN-GP training REQUIRES "float32" on TPU. With
-    the MXU's default bf16-truncated matmuls the critic races ahead and the
-    adversarial equilibrium collapses after ~1-2k steps (empirically
+    ``matmul_precision``: WGAN-GP training REQUIRES >= tensorfloat32 on TPU.
+    With the MXU's default bf16-truncated matmuls the critic races ahead and
+    the adversarial equilibrium collapses after ~1-2k steps (empirically
     reproduced across batch sizes/seeds; float32 runs track the CPU/torch
-    reference dynamics exactly). "bfloat16"/"tensorfloat32" remain
-    selectable for non-adversarial workloads.
+    reference dynamics exactly, and tensorfloat32 is validated stable over
+    the full 500-epoch recipe — results/RESULTS.md §tf32). Two MIXED modes
+    probe whether the collapse mechanism is the gradient-penalty chain's
+    precision: "bf16_tf32gp" / "bf16_f32gp" run every matmul at bfloat16
+    EXCEPT the GP subgraph (forward + nested ∇ₓD + its parameter gradients)
+    at tensorfloat32 / float32 respectively.
     """
+    gp_precision = None
+    if matmul_precision in ("bf16_tf32gp", "bf16_f32gp"):
+        gp_precision = "tensorfloat32" if matmul_precision == "bf16_tf32gp" else "float32"
+        matmul_precision = "bfloat16"
+        if use_pallas_critic:
+            raise ValueError("mixed GP precision is not supported by the "
+                             "Pallas critic kernel path")
 
     def reduce_tree(t):
         if axis_name is None:
@@ -218,7 +240,8 @@ def build_train_step(
                 )
             else:
                 (loss, aux), grads = jax.value_and_grad(critic_loss_fn, has_aux=True)(
-                    params_d, state.params_g, gen_apply, critic_apply, batch, k_gp, loss_cfg
+                    params_d, state.params_g, gen_apply, critic_apply, batch, k_gp,
+                    loss_cfg, gp_precision
                 )
             grads, aux = reduce_tree((grads, aux))
             updates, opt_d = tx_d.update(grads, opt_d, params_d)

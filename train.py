@@ -98,11 +98,14 @@ def main():
                              "per-step decay (e.g. 0.999) and validate it "
                              "alongside the raw weights; 0 disables")
     parser.add_argument("--matmul_precision",
-                        choices=["float32", "tensorfloat32", "bfloat16"],
+                        choices=["float32", "tensorfloat32", "bfloat16",
+                                 "bf16_tf32gp", "bf16_f32gp"],
                         default="float32",
                         help="MXU matmul precision for the train step "
                              "(float32 is the validated-stable default; see "
-                             "results/RESULTS.md on bf16 collapse)")
+                             "results/RESULTS.md on bf16 collapse; the "
+                             "bf16_*gp modes run bf16 everywhere except the "
+                             "gradient-penalty chain)")
     parser.add_argument("--rtl_qat", action="store_true",
                         help="train against the RTL's exact op semantics (slope "
                              "0.3125, clamp tanh, center-tap output conv) + QAT, "
