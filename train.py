@@ -171,7 +171,7 @@ def main():
         import jax
         import orbax.checkpoint as ocp
         from pathlib import Path
-        from ofdmgan_tpu.quant.export import export_generator
+        from ofdmgan_tpu.quant.export import export_full_unet, export_generator
 
         restored = ocp.PyTreeCheckpointer().restore(str(Path(args.export_checkpoint).absolute()))
         params_g = restored["params_g"] if "params_g" in restored else restored
@@ -179,7 +179,11 @@ def main():
         export_dir.mkdir(parents=True, exist_ok=True)
         print(f"Exporting weights from checkpoint: {args.export_checkpoint}")
         print(f"Writing to: {export_dir / 'generator'}")
-        export_generator(params_g, str(export_dir / "generator"))
+        inner = params_g.get("params", params_g)
+        if "enc1_1" in inner:  # full U-Net family (reference metadata.json layout)
+            export_full_unet(params_g, str(export_dir / "generator"))
+        else:
+            export_generator(params_g, str(export_dir / "generator"))
         print("Export complete.")
         return
 
