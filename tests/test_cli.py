@@ -102,6 +102,9 @@ class TestFullModelCLI:
                  "--epochs", "1", "--batch_size", "16",
                  "--samples_per_epoch", "32", "--adv_weight", "0.1",
                  "--lr_d", "5e-5", "--n_critic", "2",
+                 # isolated: must NOT overwrite the module workdir's MINI
+                 # final_model, which TestEnhanceCLI loads later
+                 "--checkpoint_dir", str(tmp_path / "ckpt_full"),
                  "--experiment", "cli_full"], cwd=workdir)
         assert r.returncode == 0, (r.stdout[-1500:], r.stderr[-1500:])
         assert "Epoch 0:" in r.stdout
@@ -118,8 +121,8 @@ class TestFullModelCLI:
                  "--model", "full", "--frame_length", "64", "--nonlinear",
                  "--n_trials", "2", "--snr_min", "10", "--snr_max", "10",
                  "--snr_step", "30", "--output_dir", str(workdir / "bench_full")],
-                cwd=workdir)
-        assert r.returncode == 0, r.stderr[-2000:]
+                cwd=workdir, timeout=900)
+        assert r.returncode == 0, (r.stdout[-1200:], r.stderr[-2000:])
         assert "Non-Linear Impairments" in r.stdout
         # quantized deployment paths are mini-only
         r2 = run([str(REPO / "benchmark_comparison.py"), "--platform", "cpu",
