@@ -105,6 +105,12 @@ def main():
         import jax.numpy as jnp
 
         params_g = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, args.frame_length, 2)))
+    inner = params_g.get("params", params_g) if isinstance(params_g, dict) else {}
+    expected = "enc1_1" if args.model == "full" else "enc1"
+    if inner and expected not in inner:
+        parser.error(f"checkpoint does not hold a '{args.model}' generator "
+                     f"(missing layer '{expected}'; found {sorted(inner)[:4]}...) "
+                     f"— pass the matching --model")
     print(f"Generator parameters: {count_parameters(params_g):,}")
 
     kw = dict(n_trials=args.n_trials, frame_length=args.frame_length,

@@ -119,6 +119,10 @@ class TestFullModelCLI:
         'architecture verification' mode, benchmark_comparison.py:398-400)."""
         r = run([str(REPO / "benchmark_comparison.py"), "--platform", "cpu",
                  "--model", "full", "--frame_length", "64", "--nonlinear",
+                 # explicit nonexistent checkpoint: the default path holds the
+                 # MINI checkpoint from earlier tests in this shared workdir,
+                 # which cannot restore into the full U-Net
+                 "--checkpoint", str(workdir / "no_such_ckpt"),
                  "--n_trials", "2", "--snr_min", "10", "--snr_max", "10",
                  "--snr_step", "30", "--output_dir", str(workdir / "bench_full")],
                 cwd=workdir, timeout=900)
