@@ -78,6 +78,27 @@ class TestCLIs:
         assert r.returncode == 0, r.stdout + r.stderr[-500:]
         assert "6/6 tests passed" in r.stdout
 
+    def test_eval_checkpoint_and_extract_champion(self, workdir, tmp_path):
+        """scripts/eval_checkpoint.py (paired identity + checkpoint rows) and
+        scripts/extract_champion.py (npz round-trip into the evaluator)."""
+        ckpt = workdir / "checkpoints" / "final_model"
+        r = run([str(REPO / "scripts" / "extract_champion.py"),
+                 "--checkpoint", str(ckpt), "--out", str(tmp_path / "champ")],
+                cwd=workdir)
+        assert r.returncode == 0, r.stderr[-1500:]
+        npz = tmp_path / "champ" / "champion_params_g.npz"
+        assert npz.exists()
+        r2 = run([str(REPO / "scripts" / "eval_checkpoint.py"), "--platform", "cpu",
+                  "--identity", "--checkpoint", str(ckpt), str(npz),
+                  "--batches", "2", "--batch_size", "32"], cwd=workdir)
+        assert r2.returncode == 0, r2.stderr[-1500:]
+        assert "identity:" in r2.stdout
+        # Orbax dir and its npz extraction evaluate to the SAME paired number
+        import re
+
+        l1s = re.findall(r"val L1 ([0-9.]+)", r2.stdout)
+        assert len(l1s) == 3 and l1s[1] == l1s[2], r2.stdout
+
     def test_selfcheck(self, workdir):
         r = run(["-c", "import jax; jax.config.update('jax_platforms','cpu');"
                  "import sys; from ofdmgan_tpu.selfcheck import main; sys.exit(main())"],
