@@ -130,6 +130,15 @@ class MiniGenerator(nn.Module):
     use_matmul: bool = True
     qat: bool = False  # train under Q1.7/Q8.8 fake quantization
     rtl_faithful: bool = False  # train against the RTL's exact op semantics
+    # Opt-in input-level residual head: y = x + out_conv(...) with NO tanh.
+    # The reference architecture (tanh output, skip taps enc1 activations,
+    # generator.py:157-208) cannot represent the identity map, which caps
+    # its SNR-averaged L1 ABOVE the identity baseline at L=16
+    # (results/RESULTS.md §Identity baselines). This one-line extension
+    # removes that ceiling at the same 258-param budget. Departs from the
+    # RTL deployment contract (no tanh stage), so it is off by default and
+    # rejected when composed with rtl_faithful.
+    input_residual: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -142,6 +151,9 @@ class MiniGenerator(nn.Module):
         (generator_mini.v:73), and tanh-as-clamp (generator_mini.v:630-648).
         Parameter count stays 258 (the masked output-conv taps remain
         parameters; the ROM never stores them)."""
+        if self.input_residual and self.rtl_faithful:
+            raise ValueError("input_residual departs from the RTL output "
+                             "stage and cannot compose with rtl_faithful")
         slope = 0.3125 if self.rtl_faithful else self.leaky_slope
         mk = dict(leaky_slope=slope, use_matmul=self.use_matmul,
                   qat=self.qat)
@@ -168,6 +180,8 @@ class MiniGenerator(nn.Module):
             self, up2, self.output_channels, 3, 1, 1, self.use_matmul,
             name="out_conv", qat=self.qat,
         )
+        if self.input_residual:
+            return x + out
         return jnp.tanh(out)
 
     def layer_info(self) -> List[Dict[str, Any]]:

@@ -99,6 +99,7 @@ class Trainer:
             leaky_slope=gcfg.get("leaky_slope", 0.2),
             qat=qat,  # Q1.7/Q8.8 quantization-aware training
             rtl_faithful=rtl_faithful,
+            input_residual=gcfg.get("input_residual", False),
         )
         self.discriminator = discriminator if discriminator is not None else MiniDiscriminator(
             frame_length=frame_length,

@@ -90,6 +90,21 @@ class TestGenerator:
         y_conv = m_conv.apply(p2, x)
         np.testing.assert_allclose(np.asarray(y_mat), np.asarray(y_conv), atol=1e-5)
 
+    def test_input_residual_head(self):
+        """Opt-in y = x + f(x) head: same 258-param budget, exactly contains
+        the identity map (zero out-conv -> y == x), rejects rtl_faithful."""
+        g = MiniGenerator(input_residual=True)
+        x = jax.random.normal(KEY, (4, 16, 2))
+        params = g.init(KEY, x)
+        assert count_parameters(params) == 258
+        inner = dict(params["params"])
+        inner["out_conv_kernel"] = jnp.zeros_like(inner["out_conv_kernel"])
+        inner["out_conv_bias"] = jnp.zeros_like(inner["out_conv_bias"])
+        np.testing.assert_array_equal(
+            np.asarray(g.apply({"params": inner}, x)), np.asarray(x))
+        with pytest.raises(ValueError):
+            MiniGenerator(input_residual=True, rtl_faithful=True).init(KEY, x)
+
     def test_zero_bias_init(self):
         params = MiniGenerator().init(KEY, jnp.zeros((1, 16, 2)))
         flat = jax.tree_util.tree_leaves_with_path(params)

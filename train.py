@@ -93,6 +93,12 @@ def main():
                              "(reference scheduler.step_size, config.yaml)")
     parser.add_argument("--lr_gamma", type=float, default=None,
                         help="StepLR decay factor override (scheduler.gamma)")
+    parser.add_argument("--residual", action="store_true",
+                        help="input-level residual generator head (y = x + "
+                             "f(x), no tanh): removes the identity-map "
+                             "ceiling of the reference architecture at the "
+                             "same param budget; departs the RTL contract "
+                             "(mini model only)")
     parser.add_argument("--ema", type=float, default=0.0, metavar="DECAY",
                         help="maintain an EMA of generator weights with this "
                              "per-step decay (e.g. 0.999) and validate it "
@@ -151,6 +157,11 @@ def main():
         config.setdefault("training", {}).setdefault("scheduler", {})["step_size"] = args.lr_step
     if args.lr_gamma is not None:
         config.setdefault("training", {}).setdefault("scheduler", {})["gamma"] = args.lr_gamma
+    if args.residual:
+        if args.rtl_qat or args.model == "full":
+            parser.error("--residual applies to the mini generator and is "
+                         "incompatible with --rtl_qat")
+        config.setdefault("model", {}).setdefault("generator", {})["input_residual"] = True
     if args.model == "full" and args.frame_length is None:
         args.frame_length = 1024
     if args.frame_length:
