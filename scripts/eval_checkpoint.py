@@ -51,6 +51,11 @@ def main():
     ap.add_argument("--ema", action="store_true",
                     help="evaluate the EMA generator subtree of each dir")
     ap.add_argument("--model", choices=["mini", "full"], default="mini")
+    ap.add_argument("--residual", action="store_true",
+                    help="build the mini generator with the input-residual "
+                         "head (must match how the checkpoint was trained — "
+                         "the param tree is identical between heads, so a "
+                         "mismatch silently evaluates the wrong function)")
     ap.add_argument("--frame_length", type=int, default=None)
     ap.add_argument("--nonlinear", action="store_true")
     ap.add_argument("--pa_saturation", type=float, default=0.8)
@@ -68,7 +73,6 @@ def main():
     import numpy as np
 
     from ofdmgan_tpu.signal.datagen import DatagenConfig
-    from ofdmgan_tpu.training.wgan_gp import make_eval_step
 
     if args.frame_length is None:
         args.frame_length = 1024 if args.model == "full" else 16
@@ -79,21 +83,39 @@ def main():
     else:
         from ofdmgan_tpu.models import MiniGenerator
 
-        gen = MiniGenerator(frame_length=args.frame_length)
+        gen = MiniGenerator(frame_length=args.frame_length,
+                            input_residual=args.residual)
 
     dg = DatagenConfig.make(frame_length=args.frame_length,
                             snr_range=(0, 30), nonlinear=args.nonlinear,
                             pa_saturation=args.pa_saturation)
-    eval_step = make_eval_step(gen.apply, dg, args.batch_size)
     keys = jax.random.split(jax.random.PRNGKey(args.seed), args.batches)
     n = args.batches
 
-    def sweep(name, step, params, weights):
-        l1s, mses = [], []
-        for k in keys:  # same key sequence for every candidate: paired eval
-            m = step(params, k)
-            l1s.append(float(m["rec_loss"]))
-            mses.append(float(m["mse"]))
+    def make_sweep(apply_fn):
+        # ALL batches inside one jitted lax.scan: a single dispatch per
+        # candidate (per-batch dispatch on the remote axon tunnel is ~100x
+        # slower than the compute itself)
+        from ofdmgan_tpu.signal.datagen import synthetic_batch
+
+        @jax.jit
+        def sweep_fn(params):
+            def body(_, k):
+                batch = synthetic_batch(k, args.batch_size, dg)
+                fake = apply_fn(params, batch["noisy"])
+                l1 = jnp.mean(jnp.abs(fake - batch["clean"]))
+                mse = jnp.mean((fake - batch["clean"]) ** 2)
+                return 0, (l1, mse)
+
+            _, (l1s, mses) = jax.lax.scan(body, 0, keys)
+            return l1s, mses
+
+        return sweep_fn
+
+    eval_sweep = make_sweep(gen.apply)
+
+    def sweep(name, sweep_fn, params, weights):
+        l1s, mses = map(np.asarray, jax.device_get(sweep_fn(params)))
         r = {
             "val_l1": float(np.mean(l1s)),
             "val_l1_sem": float(np.std(l1s) / np.sqrt(n)),
@@ -102,15 +124,16 @@ def main():
             "weights": weights,
         }
         print(f"{name}: val L1 {r['val_l1']:.5f} ± {r['val_l1_sem']:.5f} "
-              f"MSE {r['val_mse']:.5f}  ({r['frames']} frames, {weights})")
+              f"MSE {r['val_mse']:.5f}  ({r['frames']} frames, {weights})",
+              flush=True)
         return r
 
     results = {}
     if args.identity:
-        id_step = make_eval_step(lambda params, noisy: noisy, dg, args.batch_size)
-        results["identity"] = sweep("identity", id_step, {}, "—")
+        results["identity"] = sweep(
+            "identity", make_sweep(lambda params, noisy: noisy), {}, "—")
     for ck in args.checkpoint:
-        results[ck] = sweep(ck, eval_step, load_params(ck, args.ema),
+        results[ck] = sweep(ck, eval_sweep, load_params(ck, args.ema),
                             "ema" if args.ema else "raw")
     print(json.dumps(results, indent=2))
 
