@@ -34,6 +34,10 @@ def main():
                              "float rows with the QAT forward (STE quantization ops)")
     parser.add_argument("--rtl_qat", action="store_true",
                         help="the checkpoint was trained with --rtl_qat")
+    parser.add_argument("--residual", action="store_true",
+                        help="mini generator with the input-residual head "
+                             "(must match the checkpoint's training head — "
+                             "the param tree is head-agnostic)")
     parser.add_argument("--quantized", action="store_true",
                         help="add a GAN-Q row: the Q1.7/Q8.8 fixed-point generator")
     parser.add_argument("--int_mode", choices=["rtl", "float_ref"], default="rtl",
@@ -82,7 +86,8 @@ def main():
     else:
         gen = MiniGenerator(frame_length=args.frame_length,
                             qat=args.qat or args.rtl_qat,
-                            rtl_faithful=args.rtl_qat)
+                            rtl_faithful=args.rtl_qat,
+                            input_residual=args.residual)
     if os.path.exists(args.checkpoint) and args.checkpoint.endswith(".npz"):
         # flat champion artifact written by scripts/extract_champion.py
         print(f"Loading npz weights: {args.checkpoint}")

@@ -26,6 +26,10 @@ def main():
     ap.add_argument("--batch_size", type=int, default=8192)
     ap.add_argument("--int_mode", choices=["rtl", "float_ref"], default=None,
                     help="run the Q1.7/Q8.8 integer datapath (mini only)")
+    ap.add_argument("--residual", action="store_true",
+                    help="mini generator with the input-residual head (must "
+                         "match the checkpoint's training head; float path "
+                         "only — the integer datapath is the RTL head)")
     ap.add_argument("--platform", type=str, default=None)
     args = ap.parse_args()
 
@@ -71,7 +75,7 @@ def main():
         else:
             from ofdmgan_tpu.models import MiniGenerator
 
-            gen = MiniGenerator(frame_length=fl)
+            gen = MiniGenerator(frame_length=fl, input_residual=args.residual)
         fwd = jax.jit(gen.apply)
         chunks = []
         for i in range(0, n, args.batch_size):
