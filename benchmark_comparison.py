@@ -40,7 +40,7 @@ def main():
                              "the param tree is head-agnostic)")
     parser.add_argument("--quantized", action="store_true",
                         help="add a GAN-Q row: the Q1.7/Q8.8 fixed-point generator")
-    parser.add_argument("--int_mode", choices=["rtl", "float_ref"], default="rtl",
+    parser.add_argument("--int_mode", choices=["rtl", "float_ref", "rtl_residual"], default="rtl",
                         help="fixed-point semantics for GAN-Q: 'rtl' reproduces the "
                              "hardware's aggressive approximations; 'float_ref' is "
                              "this framework's faithful-rounding integer design")

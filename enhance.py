@@ -24,7 +24,7 @@ def main():
     ap.add_argument("--model", choices=["mini", "full"], default="mini")
     ap.add_argument("--frame_length", type=int, default=None)
     ap.add_argument("--batch_size", type=int, default=8192)
-    ap.add_argument("--int_mode", choices=["rtl", "float_ref"], default=None,
+    ap.add_argument("--int_mode", choices=["rtl", "float_ref", "rtl_residual"], default=None,
                     help="run the Q1.7/Q8.8 integer datapath (mini only)")
     ap.add_argument("--residual", action="store_true",
                     help="mini generator with the input-residual head (must "

@@ -84,8 +84,12 @@ extern "C" {
 
 // Generator forward: input/output are channel-major [2][16] Q8.8.
 // weights: 2048-entry Q1.7 ROM image; biases: 64-entry Q8.8 ROM image.
-void fixsim_generator_forward(const int8_t* rom_w, const int16_t* rom_b,
-                              const int16_t* input, int16_t* output) {
+// residual != 0: replace the clamp-tanh output stage with a SATURATING
+// INPUT ADD (out = sat16(conv + bias + input)) — the hardware form of the
+// input-residual head (one skip wire + adder; intsim mode "rtl_residual").
+static void generator_forward_impl(const int8_t* rom_w, const int16_t* rom_b,
+                                   const int16_t* input, int16_t* output,
+                                   int residual) {
     int16_t enc1[4 * 8], bneck[8 * 4], up1[8 * 8], dec1[4 * 8];
     int16_t skip[4 * 8], up2[4 * 16];
 
@@ -106,13 +110,28 @@ void fixsim_generator_forward(const int8_t* rom_w, const int16_t* rom_b,
                 acc += (prod >> 7);
             }
             acc += rom_b[16 + oc];
-            int32_t r = sat16(acc);
-            // tanh-as-clamp: >256 -> 255, < -256 -> -255 (exactly +-256 pass)
-            if (r > 256) r = 255;
-            else if (r < -256) r = -255;
+            int32_t r;
+            if (residual) {
+                r = sat16(acc + (int32_t)input[oc * FRAME + t]);
+            } else {
+                r = sat16(acc);
+                // tanh-as-clamp: >256 -> 255, < -256 -> -255 (exactly +-256 pass)
+                if (r > 256) r = 255;
+                else if (r < -256) r = -255;
+            }
             output[oc * FRAME + t] = (int16_t)r;
         }
     }
+}
+
+void fixsim_generator_forward(const int8_t* rom_w, const int16_t* rom_b,
+                              const int16_t* input, int16_t* output) {
+    generator_forward_impl(rom_w, rom_b, input, output, 0);
+}
+
+void fixsim_generator_forward_res(const int8_t* rom_w, const int16_t* rom_b,
+                                  const int16_t* input, int16_t* output) {
+    generator_forward_impl(rom_w, rom_b, input, output, 1);
 }
 
 // Critic forward: candidate/condition channel-major [2][16] Q8.8 -> score.
@@ -144,6 +163,13 @@ void fixsim_generator_forward_batch(const int8_t* rom_w, const int16_t* rom_b,
     for (int i = 0; i < n; ++i)
         fixsim_generator_forward(rom_w, rom_b, input + i * 2 * FRAME,
                                  output + i * 2 * FRAME);
+}
+
+void fixsim_generator_forward_res_batch(const int8_t* rom_w, const int16_t* rom_b,
+                                        const int16_t* input, int16_t* output, int n) {
+    for (int i = 0; i < n; ++i)
+        fixsim_generator_forward_res(rom_w, rom_b, input + i * 2 * FRAME,
+                                     output + i * 2 * FRAME);
 }
 
 void fixsim_discriminator_forward_batch(const int8_t* rom_w, const int16_t* rom_b,

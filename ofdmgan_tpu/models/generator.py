@@ -135,9 +135,10 @@ class MiniGenerator(nn.Module):
     # generator.py:157-208) cannot represent the identity map, which caps
     # its SNR-averaged L1 ABOVE the identity baseline at L=16
     # (results/RESULTS.md §Identity baselines). This one-line extension
-    # removes that ceiling at the same 258-param budget. Departs from the
-    # RTL deployment contract (no tanh stage), so it is off by default and
-    # rejected when composed with rtl_faithful.
+    # removes that ceiling at the same 258-param budget. Composed with
+    # rtl_faithful it trains the RTL-RESIDUAL hardware datapath (clamp-tanh
+    # stage replaced by a saturating input adder — intsim "rtl_residual",
+    # bit-exact vs native/fixsim.cpp).
     input_residual: bool = False
 
     @nn.compact
@@ -151,9 +152,6 @@ class MiniGenerator(nn.Module):
         (generator_mini.v:73), and tanh-as-clamp (generator_mini.v:630-648).
         Parameter count stays 258 (the masked output-conv taps remain
         parameters; the ROM never stores them)."""
-        if self.input_residual and self.rtl_faithful:
-            raise ValueError("input_residual departs from the RTL output "
-                             "stage and cannot compose with rtl_faithful")
         slope = 0.3125 if self.rtl_faithful else self.leaky_slope
         mk = dict(leaky_slope=slope, use_matmul=self.use_matmul,
                   qat=self.qat)
@@ -173,6 +171,11 @@ class MiniGenerator(nn.Module):
                 w = q17_ste(w)
                 b = q88_ste(b)
             out = conv1d_via_matmul(up2, w, b, 1, 1)
+            if self.input_residual:
+                # RTL-residual output stage: saturating input add replaces
+                # the clamp-tanh (intsim mode "rtl_residual"; the hardware
+                # sat16 at ±128.0 Q8.8 is inactive for normalized signals)
+                return x + out
             # hardware tanh = clamp: >1 -> 255/256, < -1 -> -255/256
             return jnp.where(out > 1.0, 255.0 / 256.0,
                              jnp.where(out < -1.0, -255.0 / 256.0, out))

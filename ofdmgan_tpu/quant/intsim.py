@@ -152,7 +152,18 @@ def generator_int_forward(
 
     Mirrors the generator_mini.v FSM sequence ENC1 -> BNECK -> UPSAMPLE1 ->
     DEC1 -> SKIP_ADD -> UPSAMPLE2 -> OUT_CONV -> TANH.
+
+    ``mode="rtl_residual"``: the RTL datapath (per-tap ``>>>7``, slope-0.3125
+    LeakyReLU, center-tap output conv) with the final clamp-tanh replaced by
+    a SATURATING INPUT ADD — ``out = sat16(conv + bias + x)`` — the hardware
+    form of the input-residual head (one skip wire + adder in place of the
+    clamp stage). This is the deployable variant of the architecture fix in
+    results/RESULTS.md §Identity baselines; bit-exact against
+    native/fixsim.cpp's residual entry point (tests/test_cosim.py).
     """
+    residual = mode == "rtl_residual"
+    if residual:
+        mode = "rtl"
     x = x_q88.astype(jnp.int32)
     enc1 = _lrelu_int(_sat16(_conv1d_int(x, iparams.enc1, 2, mode)), mode)
     bneck = _lrelu_int(_sat16(_conv1d_int(enc1, iparams.bottleneck, 2, mode)), mode)
@@ -167,10 +178,15 @@ def generator_int_forward(
         w_center = w[:, :, w.shape[2] // 2] if w.ndim == 3 else w  # [out, in]
         b = jnp.asarray(iparams.out_conv.bias)
         prod = up2[..., None] * w_center.T[None, None, :, :]
-        out = _sat16(jnp.sum(_sra(prod, 7), axis=2) + b[None, None, :])
-        # tanh-as-clamp (generator_mini.v:630-648): >256 -> 255, <-256 -> -255
-        out = jnp.where(out > 256, 255, out)
-        out = jnp.where(out < -256, -255, out)
+        acc = jnp.sum(_sra(prod, 7), axis=2) + b[None, None, :]
+        if residual:
+            # saturating input add replaces the clamp-tanh stage
+            out = _sat16(acc + x)
+        else:
+            out = _sat16(acc)
+            # tanh-as-clamp (generator_mini.v:630-648): >256 -> 255, <-256 -> -255
+            out = jnp.where(out > 256, 255, out)
+            out = jnp.where(out < -256, -255, out)
     else:
         out = _sat16(_conv1d_int(up2, iparams.out_conv, 1, mode))
         out = float_to_q88(jnp.tanh(q88_to_float(out)))

@@ -32,6 +32,8 @@ def _load():
     i16p = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
     lib.fixsim_generator_forward_batch.argtypes = [i8p, i16p, i16p, i16p, ctypes.c_int]
     lib.fixsim_generator_forward_batch.restype = None
+    lib.fixsim_generator_forward_res_batch.argtypes = [i8p, i16p, i16p, i16p, ctypes.c_int]
+    lib.fixsim_generator_forward_res_batch.restype = None
     lib.fixsim_discriminator_forward_batch.argtypes = [i8p, i16p, i16p, i16p, i16p, ctypes.c_int]
     lib.fixsim_discriminator_forward_batch.restype = None
     _lib = lib
@@ -46,17 +48,21 @@ def available() -> bool:
         return False
 
 
-def generator_forward(rom_w: np.ndarray, rom_b: np.ndarray, x_ncl_q88: np.ndarray) -> np.ndarray:
+def generator_forward(rom_w: np.ndarray, rom_b: np.ndarray, x_ncl_q88: np.ndarray,
+                      residual: bool = False) -> np.ndarray:
     """Native generator inference.
 
     ``x_ncl_q88``: int16 ``[N, 2, 16]`` channel-major Q8.8 frames.
-    Returns int16 ``[N, 2, 16]``.
+    Returns int16 ``[N, 2, 16]``. ``residual=True`` selects the
+    saturating-input-add output stage (intsim mode "rtl_residual").
     """
     lib = _load()
     x = np.ascontiguousarray(x_ncl_q88, np.int16)
     n = x.shape[0]
     out = np.zeros_like(x)
-    lib.fixsim_generator_forward_batch(
+    fn = (lib.fixsim_generator_forward_res_batch if residual
+          else lib.fixsim_generator_forward_batch)
+    fn(
         np.ascontiguousarray(rom_w, np.int8),
         np.ascontiguousarray(rom_b, np.int16),
         x, out, n,

@@ -47,6 +47,31 @@ class TestGeneratorCosim:
         y_native = cosim.generator_forward(rom_w, rom_b, x_ncl)
         np.testing.assert_array_equal(np.swapaxes(y_jax, 1, 2).astype(np.int16), y_native)
 
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_residual_mode_bit_exact(self, seed):
+        """rtl_residual: RTL datapath with the clamp-tanh replaced by a
+        saturating input add — JAX and C++ must agree bit-for-bit, and the
+        result must differ from plain rtl (the stage actually changed)."""
+        ip, rom_w, rom_b = _gen_setup(seed)
+        x = jax.random.normal(jax.random.PRNGKey(200 + seed), (32, 16, 2)) * 1.5
+        xq = intsim.float_to_q88(x)
+        y_jax = np.asarray(intsim.generator_int_forward(ip, xq, "rtl_residual"))
+        x_ncl = np.swapaxes(np.asarray(xq, np.int16), 1, 2)
+        y_native = cosim.generator_forward(rom_w, rom_b, x_ncl, residual=True)
+        np.testing.assert_array_equal(np.swapaxes(y_jax, 1, 2).astype(np.int16), y_native)
+        y_rtl = np.asarray(intsim.generator_int_forward(ip, xq, "rtl"))
+        assert not np.array_equal(y_jax, y_rtl)
+        # saturating-add extremes
+        patterns = np.stack([
+            np.full((16, 2), 32767, np.int16),
+            np.full((16, 2), -32768, np.int16),
+        ])
+        y_j = np.asarray(intsim.generator_int_forward(
+            ip, jnp.asarray(patterns, jnp.int32), "rtl_residual"))
+        y_n = cosim.generator_forward(rom_w, rom_b, np.swapaxes(patterns, 1, 2),
+                                      residual=True)
+        np.testing.assert_array_equal(np.swapaxes(y_j, 1, 2).astype(np.int16), y_n)
+
     def test_extreme_inputs_saturate_identically(self):
         ip, rom_w, rom_b = _gen_setup()
         patterns = np.stack([

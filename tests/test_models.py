@@ -102,8 +102,16 @@ class TestGenerator:
         inner["out_conv_bias"] = jnp.zeros_like(inner["out_conv_bias"])
         np.testing.assert_array_equal(
             np.asarray(g.apply({"params": inner}, x)), np.asarray(x))
-        with pytest.raises(ValueError):
-            MiniGenerator(input_residual=True, rtl_faithful=True).init(KEY, x)
+        # rtl_faithful + residual trains the RTL-residual hardware datapath:
+        # same identity-at-zero-out-conv property, unbounded output (no clamp)
+        gr = MiniGenerator(input_residual=True, rtl_faithful=True, qat=False)
+        pr = gr.init(KEY, x)
+        assert count_parameters(pr) == 258
+        innr = dict(pr["params"])
+        innr["out_conv_kernel"] = jnp.zeros_like(innr["out_conv_kernel"])
+        innr["out_conv_bias"] = jnp.zeros_like(innr["out_conv_bias"])
+        np.testing.assert_array_equal(
+            np.asarray(gr.apply({"params": innr}, x)), np.asarray(x))
 
     def test_zero_bias_init(self):
         params = MiniGenerator().init(KEY, jnp.zeros((1, 16, 2)))

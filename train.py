@@ -158,9 +158,10 @@ def main():
     if args.lr_gamma is not None:
         config.setdefault("training", {}).setdefault("scheduler", {})["gamma"] = args.lr_gamma
     if args.residual:
-        if args.rtl_qat or args.model == "full":
-            parser.error("--residual applies to the mini generator and is "
-                         "incompatible with --rtl_qat")
+        if args.model == "full":
+            parser.error("--residual applies to the mini generator")
+        # with --rtl_qat this trains the RTL-RESIDUAL hardware datapath
+        # (deployable via intsim/fixsim mode "rtl_residual")
         config.setdefault("model", {}).setdefault("generator", {})["input_residual"] = True
     if args.model == "full" and args.frame_length is None:
         args.frame_length = 1024
