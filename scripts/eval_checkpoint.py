@@ -56,6 +56,11 @@ def main():
                          "head (must match how the checkpoint was trained — "
                          "the param tree is identical between heads, so a "
                          "mismatch silently evaluates the wrong function)")
+    ap.add_argument("--int_mode", choices=["rtl", "float_ref", "rtl_residual"],
+                    default=None,
+                    help="evaluate the Q1.7/Q8.8 INTEGER datapath "
+                         "(quant/intsim.py) instead of the float model "
+                         "(mini only) — the deployed-hardware function")
     ap.add_argument("--frame_length", type=int, default=None)
     ap.add_argument("--nonlinear", action="store_true")
     ap.add_argument("--pa_saturation", type=float, default=0.8)
@@ -112,7 +117,19 @@ def main():
 
         return sweep_fn
 
-    eval_sweep = make_sweep(gen.apply)
+    if args.int_mode:
+        if args.model != "mini":
+            ap.error("--int_mode applies to the mini (deployable) generator")
+        from ofdmgan_tpu.quant import intsim
+
+        def int_apply(iparams, noisy):
+            xq = intsim.float_to_q88(noisy)
+            yq = intsim.generator_int_forward(iparams, xq, args.int_mode)
+            return intsim.q88_to_float(yq)
+
+        eval_sweep = make_sweep(int_apply)
+    else:
+        eval_sweep = make_sweep(gen.apply)
 
     def sweep(name, sweep_fn, params, weights):
         l1s, mses = map(np.asarray, jax.device_get(sweep_fn(params)))
@@ -133,8 +150,14 @@ def main():
         results["identity"] = sweep(
             "identity", make_sweep(lambda params, noisy: noisy), {}, "—")
     for ck in args.checkpoint:
-        results[ck] = sweep(ck, eval_sweep, load_params(ck, args.ema),
-                            "ema" if args.ema else "raw")
+        params = load_params(ck, args.ema)
+        if args.int_mode:
+            from ofdmgan_tpu.quant import intsim as _intsim
+
+            params = _intsim.quantize_weights_rtl(params, "generator")
+        results[ck] = sweep(ck, eval_sweep, params,
+                            f"int:{args.int_mode}" if args.int_mode
+                            else ("ema" if args.ema else "raw"))
     print(json.dumps(results, indent=2))
 
 
