@@ -40,10 +40,12 @@ def main():
                              "the param tree is head-agnostic)")
     parser.add_argument("--quantized", action="store_true",
                         help="add a GAN-Q row: the Q1.7/Q8.8 fixed-point generator")
-    parser.add_argument("--int_mode", choices=["rtl", "float_ref", "rtl_residual"], default="rtl",
+    parser.add_argument("--int_mode", choices=["rtl", "float_ref", "rtl_residual"], default=None,
                         help="fixed-point semantics for GAN-Q: 'rtl' reproduces the "
                              "hardware's aggressive approximations; 'float_ref' is "
-                             "this framework's faithful-rounding integer design")
+                             "this framework's faithful-rounding integer design; "
+                             "'rtl_residual' the saturating input-adder head "
+                             "(default: rtl, or rtl_residual when --residual is set)")
     parser.add_argument("--normalization", choices=["independent", "joint"],
                         default="independent",
                         help="independent = the reference's protocol; joint = "
@@ -57,6 +59,15 @@ def main():
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--platform", type=str, default=None)
     args = parser.parse_args()
+
+    # A residual-trained checkpoint must be deployed on the residual integer
+    # head; the param tree is head-agnostic, so a mismatched int_mode would
+    # silently evaluate the wrong function (advisor finding, round 2).
+    if args.int_mode is None:
+        args.int_mode = "rtl_residual" if args.residual else "rtl"
+    elif args.residual and args.int_mode == "rtl":
+        parser.error("--residual checkpoints deploy on the 'rtl_residual' integer "
+                     "head; pass --int_mode rtl_residual (or float_ref) explicitly")
 
     import jax
 

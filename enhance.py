@@ -28,13 +28,17 @@ def main():
                     help="run the Q1.7/Q8.8 integer datapath (mini only)")
     ap.add_argument("--residual", action="store_true",
                     help="mini generator with the input-residual head (must "
-                         "match the checkpoint's training head; float path "
-                         "only — the integer datapath is the RTL head)")
+                         "match the checkpoint's training head; for integer "
+                         "inference of residual checkpoints pass "
+                         "--int_mode rtl_residual)")
     ap.add_argument("--platform", type=str, default=None)
     args = ap.parse_args()
 
     import jax
 
+    if args.residual and args.int_mode == "rtl":
+        raise SystemExit("--residual checkpoints deploy on the 'rtl_residual' "
+                         "integer head; pass --int_mode rtl_residual")
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
     if args.int_mode:

@@ -314,9 +314,16 @@ class Trainer:
         if self.mesh is not None:
             self.state = replicate_state(self.state, self.mesh)
         ema_path = path / "ema_params_g"
-        if self.ema_params_g is not None and ema_path.exists():
-            self.ema_params_g = self._ckptr.restore(
-                str(ema_path), item=jax.device_get(template.params_g))
+        if self.ema_params_g is not None:
+            if ema_path.exists():
+                self.ema_params_g = self._ckptr.restore(
+                    str(ema_path), item=jax.device_get(template.params_g))
+            else:
+                # Resuming a run trained WITHOUT --ema: re-seed the EMA from
+                # the restored generator params rather than keeping the
+                # init-time random copy (advisor finding, round 2).
+                self.ema_params_g = jax.tree_util.tree_map(
+                    np.asarray, jax.device_get(state.params_g))
         sidecar = json.loads((path / "trainer_state.json").read_text())
         self.current_epoch = sidecar["epoch"]
         self.best_val_loss = sidecar["best_val_loss"]

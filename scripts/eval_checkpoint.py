@@ -24,6 +24,10 @@ def load_params(path: str, ema: bool):
     import numpy as np
 
     if path.endswith(".npz"):
+        if ema:
+            raise SystemExit(
+                f"--ema has no effect on flat .npz artifacts ({path}): extract "
+                "the EMA subtree first with scripts/extract_champion.py --ema")
         flat = np.load(path)
         params = {}
         for p, arr in flat.items():
@@ -72,6 +76,9 @@ def main():
 
     import jax
 
+    if args.residual and args.int_mode == "rtl":
+        ap.error("--residual checkpoints deploy on the 'rtl_residual' integer "
+                 "head; pass --int_mode rtl_residual (or float_ref)")
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
