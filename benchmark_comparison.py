@@ -87,13 +87,21 @@ def main():
 
     if args.frame_length is None:
         args.frame_length = 1024 if args.model == "full" else 16
+    gen_q_apply = None
     if args.model == "full":
-        if args.qat or args.rtl_qat or args.quantized:
-            parser.error("--qat/--rtl_qat/--quantized apply to the mini "
-                         "(RTL-deployable) generator only")
+        if args.qat or args.rtl_qat:
+            parser.error("--qat/--rtl_qat apply to the mini (RTL-deployable) "
+                         "generator only")
         from ofdmgan_tpu.models.full_unet import FullUNetGenerator
 
         gen = FullUNetGenerator(frame_length=args.frame_length)
+        if args.quantized:
+            # GAN-Q row = the int8 per-channel / int16-activation export
+            # semantics simulated in the forward (models/full_unet.py);
+            # same param tree, so the float checkpoint evaluates directly
+            gen_q_apply = FullUNetGenerator(
+                frame_length=args.frame_length, weight_bits=8, act_bits=16,
+            ).apply
     else:
         gen = MiniGenerator(frame_length=args.frame_length,
                             qat=args.qat or args.rtl_qat,
@@ -132,7 +140,8 @@ def main():
     kw = dict(n_trials=args.n_trials, frame_length=args.frame_length,
               snr_values=snr_values, seed=args.seed,
               normalization=args.normalization, include_quantized=args.quantized,
-              int_mode=args.int_mode, protocol=args.protocol)
+              int_mode=args.int_mode, protocol=args.protocol,
+              gen_q_apply=gen_q_apply)
 
     results_nl = None
     if not args.nonlinear:

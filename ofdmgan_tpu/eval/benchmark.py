@@ -44,7 +44,7 @@ def _normalize_each(iq: jnp.ndarray) -> jnp.ndarray:
 
 @partial(jax.jit, static_argnames=("n_trials", "frame_length", "channel_type",
                                    "nonlinear", "gen_apply", "normalization",
-                                   "int_mode", "protocol"))
+                                   "int_mode", "protocol", "gen_q_apply"))
 def _one_snr_batch(
     key: jax.Array,
     params_g,
@@ -59,6 +59,7 @@ def _one_snr_batch(
     int_gen_params=None,
     int_mode: str = "rtl",
     protocol: str = "oracle",
+    gen_q_apply: Optional[Callable] = None,
 ):
     """All trials at one SNR as a single fused computation.
     Returns per-method (mse[n_trials], evm[n_trials]).
@@ -142,6 +143,11 @@ def _one_snr_batch(
                 int_gen_params, intsim.float_to_q88(noisy_iq), int_mode
             )
             add("GAN-Q", intsim.q88_to_float(yq))
+        elif gen_q_apply is not None:
+            # quantization-simulated forward for model families without a
+            # Q1.7 ROM datapath (the full U-Net's int8 per-channel export
+            # semantics, models/full_unet.py:weight_bits/act_bits)
+            add("GAN-Q", gen_q_apply(params_g, noisy_iq))
     add("NoEQ", noisy_iq)
     # Non-oracle baseline (extension over the reference): frame-wise Wiener
     # shrinkage X̂ = SNR/(1+SNR)·Y using only the sweep's nominal SNR — the
@@ -199,6 +205,7 @@ def run_benchmark(
     include_quantized: bool = False,
     int_mode: str = "rtl",
     protocol: str = "oracle",
+    gen_q_apply: Optional[Callable] = None,
 ) -> Dict[str, Dict[float, Dict[str, float]]]:
     """SNR sweep -> method -> snr -> {mse, mse_std, evm, evm_std}
     (benchmark_comparison.py:149-261). ``normalization``: "independent"
@@ -207,15 +214,16 @@ def run_benchmark(
     frame) or "pilot" (fair — known-preamble channel estimation/adaptation
     only; see _one_snr_batch)."""
     int_gen_params = None
-    if include_quantized and gen_apply is not None:
+    if include_quantized and gen_apply is not None and gen_q_apply is None:
         from ..quant import intsim
 
         int_gen_params = intsim.quantize_weights_rtl(
             jax.device_get(params_g), "generator"
         )
+    have_q = int_gen_params is not None or (include_quantized and gen_q_apply is not None)
     methods = [m for m in METHODS
                if (gen_apply is not None or m not in ("GAN", "GAN-Q"))
-               and (int_gen_params is not None or m != "GAN-Q")]
+               and (have_q or m != "GAN-Q")]
     out = {m: {} for m in methods}
     print(f"\nRunning benchmark: {n_trials} trials x {len(snr_values)} SNR values")
     print(f"Channel: {channel_type}, Non-linear: {nonlinear}")
@@ -227,6 +235,7 @@ def run_benchmark(
             key, params_g, jnp.float32(snr), n_trials, frame_length,
             channel_type, nonlinear, pa_saturation, gen_apply, normalization,
             int_gen_params, int_mode, protocol,
+            gen_q_apply if include_quantized else None,
         )
         for m in methods:
             ms, es = np.asarray(res[m][0]), np.asarray(res[m][1])

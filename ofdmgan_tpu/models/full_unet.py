@@ -51,39 +51,86 @@ def _conv(features: int, stride: int, name: str) -> nn.Conv:
     )
 
 
+class _QuantConv(nn.Module):
+    """Conv with per-out-channel fake-quantized kernel (STE) — identical
+    param tree to ``nn.Conv`` (leaves "kernel" [k, cin, cout] / "bias"), so
+    float checkpoints evaluate under the quantized forward directly."""
+
+    features: int
+    stride: int
+    weight_bits: int
+
+    @nn.compact
+    def __call__(self, h: jnp.ndarray) -> jnp.ndarray:
+        from ..quant.fakequant import fake_quantize_auto
+
+        kernel = self.param("kernel", _XAVIER, (3, h.shape[-1], self.features))
+        bias = self.param("bias", _ZEROS, (self.features,))
+        kq = fake_quantize_auto(kernel, self.weight_bits,
+                                per_channel=True, channel_axis=2)
+        out = jax.lax.conv_general_dilated(
+            h, kq, window_strides=(self.stride,), padding=((1, 1),),
+            dimension_numbers=("NWC", "WIO", "NWC"))
+        return out + bias
+
+
 class FullUNetGenerator(nn.Module):
-    """Channels-last ``[B, L, 2] -> [B, L, 2]``; L divisible by 2^levels."""
+    """Channels-last ``[B, L, 2] -> [B, L, 2]``; L divisible by 2^levels.
+
+    ``weight_bits``/``act_bits`` > 0 switch on deployment quantization
+    simulation (and, through the STE, full-scale QAT): per-out-channel
+    fake-quantized conv kernels (the int8 export semantics,
+    quant/export.py:quantize_layer_int8 / reference utils/quantization.py:
+    319-335) and dynamic per-tensor fake-quantized activations. The param
+    tree is identical to the float model, so any checkpoint can be
+    evaluated under either forward."""
 
     frame_length: int = 1024
     levels: int = 5
     base_channels: int = 32
     output_channels: int = 2
     leaky_slope: float = 0.2
+    weight_bits: int = 0   # 0 = float; 8 = int8 per-channel export semantics
+    act_bits: int = 0      # 0 = float; 16 = int16 dynamic per-tensor
+
+    def _maybe_quant_act(self, h: jnp.ndarray) -> jnp.ndarray:
+        if self.act_bits:
+            from ..quant.fakequant import fake_quantize_auto
+
+            return fake_quantize_auto(h, self.act_bits)
+        return h
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         a = self.leaky_slope
         widths = [self.base_channels * (2**i) for i in range(self.levels)]
 
+        if self.weight_bits:
+            def conv(w, s, name):
+                return _QuantConv(features=w, stride=s,
+                                  weight_bits=self.weight_bits, name=name)
+        else:
+            conv = _conv
+
         skips = []
-        h = x
+        h = self._maybe_quant_act(x)
         for i, w in enumerate(widths):
-            h = leaky_relu(_conv(w, 2, f"enc{i+1}_1")(h), a)
-            h = leaky_relu(_conv(w, 1, f"enc{i+1}_2")(h), a)
+            h = self._maybe_quant_act(leaky_relu(conv(w, 2, f"enc{i+1}_1")(h), a))
+            h = self._maybe_quant_act(leaky_relu(conv(w, 1, f"enc{i+1}_2")(h), a))
             skips.append(h)
 
-        h = leaky_relu(_conv(widths[-1], 1, "bottle1")(h), a)
-        h = leaky_relu(_conv(widths[-1], 1, "bottle2")(h), a)
+        h = self._maybe_quant_act(leaky_relu(conv(widths[-1], 1, "bottle1")(h), a))
+        h = self._maybe_quant_act(leaky_relu(conv(widths[-1], 1, "bottle2")(h), a))
 
         for i in range(self.levels):
             out_w = widths[self.levels - 2 - i] if i < self.levels - 1 else widths[0]
             h = upsample_nearest_2x(h)
-            h = leaky_relu(_conv(out_w, 1, f"dec{i+1}_1")(h), a)
-            h = leaky_relu(_conv(out_w, 1, f"dec{i+1}_2")(h), a)
+            h = self._maybe_quant_act(leaky_relu(conv(out_w, 1, f"dec{i+1}_1")(h), a))
+            h = self._maybe_quant_act(leaky_relu(conv(out_w, 1, f"dec{i+1}_2")(h), a))
             if i < self.levels - 1:  # additive skip (no skip at input resolution)
-                h = h + skips[self.levels - 2 - i]
+                h = self._maybe_quant_act(h + skips[self.levels - 2 - i])
 
-        out = _conv(self.output_channels, 1, "final")(h)
+        out = conv(self.output_channels, 1, "final")(h)
         return jnp.tanh(out)
 
 

@@ -65,6 +65,11 @@ def main():
                     help="evaluate the Q1.7/Q8.8 INTEGER datapath "
                          "(quant/intsim.py) instead of the float model "
                          "(mini only) — the deployed-hardware function")
+    ap.add_argument("--quant_bits", type=int, nargs=2, default=None,
+                    metavar=("WEIGHT_BITS", "ACT_BITS"),
+                    help="full model only: evaluate the quantization-"
+                         "simulated forward (int8 per-channel export "
+                         "semantics), e.g. --quant_bits 8 16")
     ap.add_argument("--frame_length", type=int, default=None)
     ap.add_argument("--nonlinear", action="store_true")
     ap.add_argument("--pa_saturation", type=float, default=0.8)
@@ -91,8 +96,13 @@ def main():
     if args.model == "full":
         from ofdmgan_tpu.models.full_unet import FullUNetGenerator
 
-        gen = FullUNetGenerator(frame_length=args.frame_length)
+        qb = dict(zip(("weight_bits", "act_bits"), args.quant_bits)) \
+            if args.quant_bits else {}
+        gen = FullUNetGenerator(frame_length=args.frame_length, **qb)
     else:
+        if args.quant_bits:
+            ap.error("--quant_bits applies to the full model (mini uses "
+                     "--int_mode for its Q1.7/Q8.8 datapath)")
         from ofdmgan_tpu.models import MiniGenerator
 
         gen = MiniGenerator(frame_length=args.frame_length,

@@ -154,3 +154,56 @@ class TestTensorParallel:
             jax.device_put(params, shardings), x
         )
         np.testing.assert_allclose(np.asarray(y_tp), np.asarray(y_ref), atol=2e-5)
+
+
+class TestQuantizedDeployment:
+    """int8 per-channel / int16-activation quantization simulation of the
+    full U-Net (models/full_unet.py weight_bits/act_bits — the deployment
+    story for the reference's real exported artifact,
+    export/generator/metadata.json)."""
+
+    def test_param_tree_identical_and_error_small(self):
+        import jax.numpy as jnp
+
+        g = FullUNetGenerator(frame_length=64, levels=3, base_channels=8)
+        gq = FullUNetGenerator(frame_length=64, levels=3, base_channels=8,
+                               weight_bits=8, act_bits=16)
+        x = jax.random.normal(jax.random.PRNGKey(0), (4, 64, 2))
+        p = g.init(jax.random.PRNGKey(1), x)
+        assert jax.tree_util.tree_structure(p) == \
+            jax.tree_util.tree_structure(gq.init(jax.random.PRNGKey(1), x))
+        y, yq = g.apply(p, x), gq.apply(p, x)
+        rms = float(jnp.sqrt(jnp.mean(y**2)))
+        assert float(jnp.max(jnp.abs(y - yq))) < 0.1 * rms
+
+    def test_kernel_quantization_matches_export_semantics(self):
+        """The simulated forward's weights must round-trip EXACTLY like the
+        export bundle's int8 quantization (quant/export.py:93-108)."""
+        import numpy as np
+
+        from ofdmgan_tpu.quant.export import quantize_layer_int8
+        from ofdmgan_tpu.quant.fakequant import fake_quantize_auto
+
+        g = FullUNetGenerator(frame_length=64, levels=3, base_channels=8)
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 2))
+        p = g.init(jax.random.PRNGKey(1), x)
+        k = np.asarray(p["params"]["enc1_1"]["kernel"])       # [k, cin, cout]
+        q8, scale = quantize_layer_int8(np.transpose(k, (2, 1, 0)))
+        deq = q8.astype(np.float32) * np.asarray(scale).reshape(-1, 1, 1)
+        kq = np.asarray(fake_quantize_auto(jnp.asarray(k), 8,
+                                           per_channel=True, channel_axis=2))
+        np.testing.assert_array_equal(np.transpose(kq, (2, 1, 0)), deq)
+
+    def test_qat_gradients_flow(self):
+        """STE: the quantized forward must be trainable (finite, nonzero
+        grads on every kernel)."""
+        import jax.numpy as jnp
+
+        gq = FullUNetGenerator(frame_length=64, levels=3, base_channels=8,
+                               weight_bits=8, act_bits=16)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 2))
+        p = gq.init(jax.random.PRNGKey(1), x)
+        grads = jax.grad(lambda p: jnp.mean(jnp.abs(gq.apply(p, x) - x)))(p)
+        leaves = jax.tree_util.tree_leaves(grads)
+        assert all(bool(jnp.isfinite(l).all()) for l in leaves)
+        assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
