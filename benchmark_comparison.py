@@ -25,7 +25,7 @@ def main():
     parser.add_argument("--snr_max", type=float, default=30)
     parser.add_argument("--snr_step", type=float, default=5)
     parser.add_argument("--channel", type=str, default="awgn",
-                        choices=["awgn", "rayleigh", "rician"])
+                        choices=["awgn", "rayleigh", "rician", "multipath"])
     parser.add_argument("--nonlinear", action="store_true",
                         help="run ONLY the nonlinear sweep (default: both)")
     parser.add_argument("--pa_saturation", type=float, default=0.8)

@@ -33,6 +33,8 @@ def main():
     ap.add_argument("--residual", action="store_true")
     ap.add_argument("--frame_length", type=int, default=None)
     ap.add_argument("--nonlinear", action="store_true")
+    ap.add_argument("--channel", type=str, default="awgn",
+                    choices=["awgn", "rayleigh", "rician", "multipath"])
     ap.add_argument("--pa_saturation", type=float, default=0.8)
     ap.add_argument("--batch_size", type=int, default=512)
     ap.add_argument("--batches", type=int, default=64)
@@ -65,6 +67,7 @@ def main():
 
     dg = DatagenConfig.make(frame_length=args.frame_length, snr_range=(0, 30),
                             nonlinear=args.nonlinear,
+                            channel_type=args.channel,
                             pa_saturation=args.pa_saturation)
     kw = dict(batch_size=args.batch_size, n_batches=args.batches,
               mmd_samples=args.mmd_samples)
@@ -100,7 +103,8 @@ def main():
         run(label, gen.apply, params)
 
     out = {"task": {"model": args.model, "frame_length": args.frame_length,
-                    "nonlinear": args.nonlinear, "residual": args.residual,
+                    "nonlinear": args.nonlinear, "channel": args.channel,
+                    "residual": args.residual,
                     "frames": args.batches * args.batch_size,
                     "mmd_samples": args.mmd_samples, "seed": args.seed},
            "rows": rows}

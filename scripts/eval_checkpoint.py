@@ -72,6 +72,8 @@ def main():
                          "semantics), e.g. --quant_bits 8 16")
     ap.add_argument("--frame_length", type=int, default=None)
     ap.add_argument("--nonlinear", action="store_true")
+    ap.add_argument("--channel", type=str, default="awgn",
+                    choices=["awgn", "rayleigh", "rician", "multipath"])
     ap.add_argument("--pa_saturation", type=float, default=0.8)
     ap.add_argument("--batch_size", type=int, default=512)
     ap.add_argument("--batches", type=int, default=100)
@@ -110,6 +112,7 @@ def main():
 
     dg = DatagenConfig.make(frame_length=args.frame_length,
                             snr_range=(0, 30), nonlinear=args.nonlinear,
+                            channel_type=args.channel,
                             pa_saturation=args.pa_saturation)
     keys = jax.random.split(jax.random.PRNGKey(args.seed), args.batches)
     n = args.batches

@@ -39,6 +39,10 @@ def main():
     parser.add_argument("--export_dir", type=str, default=None)
     parser.add_argument("--checkpoint_dir", type=str, default=None,
                         help="override paths.checkpoint_dir")
+    parser.add_argument("--channel", type=str, default=None,
+                        choices=["awgn", "rayleigh", "rician", "multipath"],
+                        help="training channel model (default: config YAML's "
+                             "channel.channel_type, i.e. awgn)")
     parser.add_argument("--nonlinear", action="store_true",
                         help="Enable PA/IQ-imbalance/phase-noise impairments")
     parser.add_argument("--pa_saturation", type=float, default=0.8)
@@ -112,6 +116,11 @@ def main():
                              "results/RESULTS.md on bf16 collapse; the "
                              "bf16_*gp modes run bf16 everywhere except the "
                              "gradient-penalty chain)")
+    parser.add_argument("--quant_bits", type=int, nargs=2, default=None,
+                        metavar=("WEIGHT_BITS", "ACT_BITS"),
+                        help="full model only: quantization-aware training "
+                             "under the int8 per-channel export semantics "
+                             "(e.g. --quant_bits 8 16)")
     parser.add_argument("--rtl_qat", action="store_true",
                         help="train against the RTL's exact op semantics (slope "
                              "0.3125, clamp tanh, center-tap output conv) + QAT, "
@@ -163,6 +172,8 @@ def main():
         # with --rtl_qat this trains the RTL-RESIDUAL hardware datapath
         # (deployable via intsim/fixsim mode "rtl_residual")
         config.setdefault("model", {}).setdefault("generator", {})["input_residual"] = True
+    if args.channel:
+        config.setdefault("channel", {})["channel_type"] = args.channel
     if args.model == "full" and args.frame_length is None:
         args.frame_length = 1024
     if args.frame_length:
@@ -219,8 +230,13 @@ def main():
         mcfg = config.get("model", {}).get("full", {})
         levels = mcfg.get("levels", 5)
         base = mcfg.get("base_channels", 32)
-        generator = FullUNetGenerator(frame_length=fl, levels=levels, base_channels=base)
+        qb = dict(zip(("weight_bits", "act_bits"), args.quant_bits)) \
+            if args.quant_bits else {}
+        generator = FullUNetGenerator(frame_length=fl, levels=levels,
+                                      base_channels=base, **qb)
         discriminator = FullDiscriminator(frame_length=fl, levels=levels, base_channels=base)
+    elif args.quant_bits:
+        raise SystemExit("--quant_bits applies to the full model (mini QAT is --qat/--rtl_qat)")
 
     trainer = Trainer(
         config=config,
