@@ -151,14 +151,20 @@ def _check_pallas_datagen():
             "snr": (jnp.min(out["snr"]), jnp.max(out["snr"]), jnp.mean(out["snr"])),
         }
 
+    measured = {}
     for nl in (False, True):
         m = jax.device_get(stats(0, nl))
+        task = "nonlinear" if nl else "linear"
         for field in ("noisy_std", "clean_std", "l1"):
             a, b = (float(v) for v in m[field])
             assert abs(a - b) < 0.01, (nl, field, a, b)
+            measured[f"{task}_{field}_pallas"] = a
+            measured[f"{task}_{field}_xla"] = b
         lo, hi, mean = (float(v) for v in m["snr"])
         assert lo >= 0 and hi <= 30 and abs(mean - 15) < 0.5, (lo, hi, mean)
         assert np.isfinite([lo, hi, mean]).all()
+        measured[f"{task}_snr_min_max_mean"] = [lo, hi, mean]
+    return measured
 
 
 CHECKS = {
@@ -172,17 +178,46 @@ CHECKS = {
 }
 
 
-def main() -> int:
+def main(argv=None) -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--json", default=None,
+                    help="write a machine-readable artifact (per-check status "
+                         "+ measured pallas-datagen statistics) to this path")
+    args = ap.parse_args(argv)
+
     ok = True
+    report = {}
     for name, fn in CHECKS.items():
         try:
-            fn()
+            detail = fn()
             print(f"  [PASS] {name}")
-        except Exception:
+            report[name] = {"status": "pass", **({"measured": detail} if detail else {})}
+        except Exception as e:
             ok = False
             print(f"  [FAIL] {name}")
             traceback.print_exc()
+            report[name] = {"status": "fail", "error": repr(e)}
     print("ALL PASSED" if ok else "FAILURES PRESENT")
+    if args.json:
+        import json
+        import platform
+        import time
+
+        import jax
+
+        report["_meta"] = {
+            "backend": jax.devices()[0].platform,
+            "device": str(jax.devices()[0]),
+            "python": platform.python_version(),
+            "jax": jax.__version__,
+            "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "ok": ok,
+        }
+        with open(args.json, "w") as f:
+            json.dump(report, f, indent=2)
+        print(f"artifact written: {args.json}")
     return 0 if ok else 1
 
 

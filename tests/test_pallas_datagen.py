@@ -83,7 +83,13 @@ class TestPlumbing:
             )
 
 
-@pytest.mark.skipif(not ON_TPU, reason="statistical tests need real TPU PRNG")
+@pytest.mark.skipif(
+    not ON_TPU,
+    reason="statistical tests need real TPU PRNG — the recorded evidence is "
+           "the committed per-round selfcheck artifact "
+           "(results/selfcheck_r03.json, 'pallas-datagen' entry with the "
+           "measured statistics; regenerate with "
+           "`python -m ofdmgan_tpu.selfcheck --json ...` on the TPU)")
 class TestStatisticsOnTPU:
     def test_matches_xla_statistics(self):
         from ofdmgan_tpu.signal import DatagenConfig, synthetic_batch
