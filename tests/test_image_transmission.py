@@ -58,3 +58,18 @@ class TestFigures:
             assert (tmp_path / f).exists(), f
         data = json.loads((tmp_path / "transmission_metrics.json").read_text())
         assert len(data["awgn"]) == 2
+
+
+def test_full_pipeline_cross_figure(tmp_path):
+    """The reference-parity cross-section panel renders and reports metrics
+    (image_ofdm_visualization.py:489-653); without a generator the enhanced
+    column degenerates to the noisy one."""
+    from ofdmgan_tpu.viz.image_transmission import create_full_pipeline_cross_figure
+
+    out = tmp_path / "cross.png"
+    m = create_full_pipeline_cross_figure(output_path=str(out), snr_db=10.0,
+                                          channel_type="awgn")
+    assert out.exists() and out.stat().st_size > 10_000
+    for k in ("psnr_noisy", "psnr_enhanced", "ssim_noisy", "nmse_enhanced"):
+        assert k in m
+    assert m["psnr_noisy"] == m["psnr_enhanced"]  # no generator passed
