@@ -42,6 +42,14 @@ def main():
                     help="fused hand-written critic-gradient kernel "
                          "(ops/pallas_critic.py; exact-parity alternative "
                          "path — measured slower than the XLA lowering)")
+    ap.add_argument("--packed", type=int, default=0, metavar="P",
+                    help="run the END-TO-END lane-packed step "
+                         "(ops/packed_step.py): P frames per 128-lane row, "
+                         "block-diagonal matmuls, datagen born packed — "
+                         "exact-parity with the unpacked step "
+                         "(tests/test_packed_step.py)")
+    ap.add_argument("--batch", type=int, default=65_536)
+    ap.add_argument("--scan_steps", type=int, default=128)
     ap.add_argument("--matmul_precision", default="tensorfloat32",
                     choices=["float32", "tensorfloat32", "bf16_tf32gp",
                              "bf16_f32gp"],
@@ -70,19 +78,30 @@ def main():
     # batch 65536 is the measured throughput-optimal point on v5e (sweep in
     # results/RESULTS.md); scan_steps=128 makes one dispatch ~0.8 s of device
     # time so tunnel latency is noise.
-    batch, scan_steps = 65_536, 128
-    step = jax.jit(
-        make_train_step(
-            gen.apply, critic.apply, tx_g, tx_d,
-            DatagenConfig.make(frame_length=16, snr_range=(0, 30)),
-            LossConfig(),  # n_critic=5, gp 10, rec 100 — the reference recipe
-            batch_size=batch, scan_steps=scan_steps,
-            use_pallas_datagen=args.pallas_datagen,
-            use_pallas_critic=args.pallas_critic,
-            matmul_precision=args.matmul_precision,
-        ),
-        donate_argnums=0,
-    )
+    batch, scan_steps = args.batch, args.scan_steps
+    dg = DatagenConfig.make(frame_length=16, snr_range=(0, 30))
+    loss_cfg = LossConfig()  # n_critic=5, gp 10, rec 100 — the reference recipe
+    if args.packed:
+        from ofdmgan_tpu.ops.packed_step import build_packed_train_step
+
+        step = jax.jit(
+            build_packed_train_step(
+                tx_g, tx_d, dg, loss_cfg, batch, p=args.packed,
+                scan_steps=scan_steps, matmul_precision=args.matmul_precision,
+            ),
+            donate_argnums=0,
+        )
+    else:
+        step = jax.jit(
+            make_train_step(
+                gen.apply, critic.apply, tx_g, tx_d, dg, loss_cfg,
+                batch_size=batch, scan_steps=scan_steps,
+                use_pallas_datagen=args.pallas_datagen,
+                use_pallas_critic=args.pallas_critic,
+                matmul_precision=args.matmul_precision,
+            ),
+            donate_argnums=0,
+        )
 
     def timed_window(state, seed):
         t0 = time.perf_counter()
