@@ -305,6 +305,21 @@ class Trainer:
             self.ema_params_g = jax.tree_util.tree_map(
                 np.asarray, jax.device_get(loaded.params_g))
 
+    def init_generator_params(self, params_g):
+        """Warm-start ONLY the generator from a bare param tree (e.g. a flat
+        .npz champion artifact): fresh critic, fresh optimizers, schedule
+        position 0 — the GAN-finetune entry for supervised champions."""
+        template = jax.device_get(self.state.params_g)
+        params_g = jax.tree_util.tree_map(
+            lambda t, v: np.asarray(v, dtype=np.asarray(t).dtype),
+            template, params_g)
+        self.state = TrainState.create(params_g, jax.device_get(self.state.params_d),
+                                       self.tx_g, self.tx_d)
+        if self.mesh is not None:
+            self.state = replicate_state(self.state, self.mesh)
+        if self.ema_params_g is not None:
+            self.ema_params_g = jax.tree_util.tree_map(np.asarray, params_g)
+
     def load_checkpoint(self, path: str):
         """Resume everything incl. optimizer/schedule state (train.py:432-445)."""
         path = Path(path).absolute()

@@ -266,8 +266,25 @@ def main():
         print(f"Resuming from {args.resume}")
         trainer.load_checkpoint(args.resume)
     elif args.init_from:
-        print(f"Warm-starting params from {args.init_from} (fresh optimizers)")
-        trainer.init_params_from(args.init_from)
+        if args.init_from.endswith(".npz"):
+            # flat generator-only artifact (scripts/extract_champion.py):
+            # warm-start G, keep the fresh critic/optimizers — the entry
+            # point for GAN-finetuning a supervised champion
+            import numpy as np
+
+            print(f"Warm-starting GENERATOR from {args.init_from} "
+                  f"(fresh critic + optimizers)")
+            flat = np.load(args.init_from)
+            pg = {}
+            for p, arr in flat.items():
+                node, keys = pg, p.split("/")
+                for k in keys[:-1]:
+                    node = node.setdefault(k, {})
+                node[keys[-1]] = arr
+            trainer.init_generator_params(pg)
+        else:
+            print(f"Warm-starting params from {args.init_from} (fresh optimizers)")
+            trainer.init_params_from(args.init_from)
 
     if args.profile:
         path = trainer.profile_steps(args.profile)
