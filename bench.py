@@ -50,9 +50,13 @@ def main():
                          "(tests/test_packed_step.py)")
     ap.add_argument("--batch", type=int, default=65_536)
     ap.add_argument("--scan_steps", type=int, default=128)
+    ap.add_argument("--act_dtype", default=None, choices=[None, "bfloat16"],
+                    help="activation STORAGE dtype: bf16 halves the HBM "
+                         "traffic of the (memory-bound) step while matmuls "
+                         "keep f32 weights + f32 accumulation")
     ap.add_argument("--matmul_precision", default="tensorfloat32",
-                    choices=["float32", "tensorfloat32", "bf16_tf32gp",
-                             "bf16_f32gp"],
+                    choices=["float32", "tensorfloat32", "bfloat16",
+                             "bf16_tf32gp", "bf16_f32gp"],
                     help="MXU precision. tensorfloat32 (bf16x3) is the "
                          "benchmarked default: the full 500-epoch reference "
                          "recipe trains to val L1 0.122 under it — equal to "
@@ -69,7 +73,8 @@ def main():
     from ofdmgan_tpu.training import LossConfig, TrainState, make_adam, make_train_step
 
     key = jax.random.PRNGKey(0)
-    gen, critic = MiniGenerator(), MiniDiscriminator()
+    gen = MiniGenerator(act_dtype=args.act_dtype)
+    critic = MiniDiscriminator(act_dtype=args.act_dtype)
     import jax.numpy as jnp
     x0 = jnp.zeros((1, 16, 2), jnp.float32)
     tx_g, tx_d = make_adam(2e-4), make_adam(2e-4)
@@ -99,6 +104,7 @@ def main():
                 use_pallas_datagen=args.pallas_datagen,
                 use_pallas_critic=args.pallas_critic,
                 matmul_precision=args.matmul_precision,
+                act_dtype=args.act_dtype,
             ),
             donate_argnums=0,
         )

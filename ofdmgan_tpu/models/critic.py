@@ -34,6 +34,7 @@ class MiniDiscriminator(nn.Module):
     conv2_channels: int = 16
     leaky_slope: float = 0.2
     use_matmul: bool = True
+    act_dtype: str | None = None  # activation storage dtype ("bfloat16")
 
     @nn.compact
     def __call__(self, candidate: jnp.ndarray, condition: jnp.ndarray) -> jnp.ndarray:
@@ -41,9 +42,11 @@ class MiniDiscriminator(nn.Module):
         x = jnp.concatenate([candidate, condition], axis=-1)
         h = conv1d(self, x, self.conv1_channels, 3, 2, 1, self.use_matmul, name="conv1")
         h = leaky_relu(h, negative_slope=self.leaky_slope)
+        if self.act_dtype is not None:  # bf16 STORAGE (HBM-bound step;
+            h = h.astype(self.act_dtype)  # matmuls still accumulate f32)
         h = conv1d(self, h, self.conv2_channels, 3, 2, 1, self.use_matmul, name="conv2")
         h = leaky_relu(h, negative_slope=self.leaky_slope)
-        pooled = jnp.sum(h, axis=-2)  # global sum pool over time
+        pooled = jnp.sum(h.astype(jnp.float32), axis=-2)  # sum pool in f32
         return nn.Dense(1, kernel_init=_XAVIER, bias_init=_ZEROS, name="dense")(pooled)
 
     def estimate_macs(self) -> int:
@@ -77,8 +80,10 @@ def compute_gradient_penalty(
     candidate only; norm over the flattened per-sample dims.
     """
     batch = real.shape[0]
-    alpha = jax.random.uniform(key, (batch,) + (1,) * (real.ndim - 1), real.dtype)
-    interp = alpha * real + (1.0 - alpha) * fake
+    alpha = jax.random.uniform(key, (batch,) + (1,) * (real.ndim - 1), jnp.float32)
+    # keep the interpolate in the inputs' STORAGE dtype (bf16 storage mode
+    # would otherwise silently promote the whole GP chain back to f32)
+    interp = (alpha * real + (1.0 - alpha) * fake).astype(real.dtype)
 
     def score_sum(x):
         return jnp.sum(critic_apply(params, x, condition))

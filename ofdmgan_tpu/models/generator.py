@@ -41,6 +41,7 @@ class ConvBlock(nn.Module):
     leaky_slope: float = 0.2
     use_matmul: bool = True
     qat: bool = False
+    act_dtype: str | None = None  # activation STORAGE dtype (e.g. "bfloat16")
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -54,7 +55,14 @@ class ConvBlock(nn.Module):
             self.use_matmul,
             qat=self.qat,
         )
-        return leaky_relu(y, negative_slope=self.leaky_slope)
+        y = leaky_relu(y, negative_slope=self.leaky_slope)
+        # bf16 STORAGE halves the HBM traffic of materialized activations
+        # (and of their cotangents) — the fused train step is HBM-bound
+        # (results/perf_hlo_analysis.json: 42 KB logical bytes/frame).
+        # Matmuls still accumulate f32 on f32 weights (dense_conv).
+        if self.act_dtype is not None:
+            y = y.astype(self.act_dtype)
+        return y
 
 
 def q17_ste(w: jnp.ndarray) -> jnp.ndarray:
@@ -130,6 +138,7 @@ class MiniGenerator(nn.Module):
     use_matmul: bool = True
     qat: bool = False  # train under Q1.7/Q8.8 fake quantization
     rtl_faithful: bool = False  # train against the RTL's exact op semantics
+    act_dtype: str | None = None  # activation storage dtype ("bfloat16")
     # Opt-in input-level residual head: y = x + out_conv(...) with NO tanh.
     # The reference architecture (tanh output, skip taps enc1 activations,
     # generator.py:157-208) cannot represent the identity map, which caps
@@ -154,7 +163,7 @@ class MiniGenerator(nn.Module):
         parameters; the ROM never stores them)."""
         slope = 0.3125 if self.rtl_faithful else self.leaky_slope
         mk = dict(leaky_slope=slope, use_matmul=self.use_matmul,
-                  qat=self.qat)
+                  qat=self.qat, act_dtype=self.act_dtype)
         enc1 = ConvBlock(self.enc1_channels, stride=2, name="enc1", **mk)(x)
         bneck = ConvBlock(self.bottleneck_channels, stride=2, name="bottleneck", **mk)(enc1)
         up1 = upsample_nearest_2x(bneck)

@@ -111,7 +111,10 @@ def conv1d_via_matmul(
             and isinstance(batch_shape[0], int) and batch_shape[0] % pack == 0):
         y = _packed_matmul(xf, a, pack)
     else:
-        y = jnp.matmul(xf, a, preferred_element_type=x.dtype)
+        # accumulate in the PROMOTED dtype: with bf16-stored activations
+        # (x bf16, weights f32) the MXU products/accumulator stay f32 —
+        # bf16 is a STORAGE format here, not a compute format
+        y = jnp.matmul(xf, a, preferred_element_type=jnp.promote_types(x.dtype, a.dtype))
     y = y.reshape(*batch_shape, l_out, cout)
     if b is not None:
         y = y + b

@@ -72,6 +72,7 @@ def make_sharded_train_step(
     donate: bool = True,
     matmul_precision: str = "float32",
     batch_fn: Optional[Callable] = None,
+    act_dtype: Optional[str] = None,
 ) -> Callable[[TrainState, jax.Array], Tuple[TrainState, dict]]:
     """Data-parallel fused train step over ``mesh`` axis ``dp``.
 
@@ -102,6 +103,7 @@ def make_sharded_train_step(
         axis_name="dp",
         matmul_precision=matmul_precision,
         batch_fn=batch_fn,
+        act_dtype=act_dtype,
     )
 
     def per_replica(state: TrainState, key: jax.Array):

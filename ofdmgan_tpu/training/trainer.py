@@ -68,6 +68,7 @@ class Trainer:
         discriminator=None,
         matmul_precision: str = "float32",
         ema_decay: float = 0.0,
+        act_dtype: Optional[str] = None,
     ):
         """``generator``/``discriminator`` inject alternative model families
         (e.g. the full 1024-sample U-Net, models/full_unet.py) in place of
@@ -100,12 +101,14 @@ class Trainer:
             qat=qat,  # Q1.7/Q8.8 quantization-aware training
             rtl_faithful=rtl_faithful,
             input_residual=gcfg.get("input_residual", False),
+            act_dtype=act_dtype,
         )
         self.discriminator = discriminator if discriminator is not None else MiniDiscriminator(
             frame_length=frame_length,
             conv1_channels=dcfg.get("conv1_channels", 8),
             conv2_channels=dcfg.get("conv2_channels", 16),
             leaky_slope=dcfg.get("leaky_slope", 0.2),
+            act_dtype=act_dtype,
         )
 
         # StepLR in optimizer-update counts (G: 1/step; D: n_critic/step)
@@ -155,6 +158,7 @@ class Trainer:
                 scan_steps=self.scan_steps,
                 matmul_precision=matmul_precision,
                 batch_fn=batch_fn,
+                act_dtype=act_dtype,
             )
         else:
             self._step = make_train_step(
@@ -163,6 +167,7 @@ class Trainer:
                 batch_size=self.batch_size, scan_steps=self.scan_steps,
                 use_pallas_datagen=use_pallas_datagen, batch_fn=batch_fn,
                 matmul_precision=matmul_precision,
+                act_dtype=act_dtype,
             )
         if batch_fn is not None:
             gen_apply = self.generator.apply

@@ -80,7 +80,9 @@ def critic_loss_fn(
     inherit the primal dot's precision), letting the rest of the critic step
     run at a cheaper precision (the "mixed" modes; see build_train_step)."""
     noisy, clean = batch["noisy"], batch["clean"]
-    fake = jax.lax.stop_gradient(gen_apply(params_g, noisy))
+    # store the (non-differentiated) fake in the batch's storage dtype so a
+    # bf16-storage step keeps every critic input half-width (no-op for f32)
+    fake = jax.lax.stop_gradient(gen_apply(params_g, noisy)).astype(noisy.dtype)
     d_real = critic_apply(params_d, clean, noisy)
     d_fake = critic_apply(params_d, fake, noisy)
     wasserstein = jnp.mean(d_fake) - jnp.mean(d_real)
@@ -134,6 +136,7 @@ def build_train_step(
     use_pallas_critic: bool = False,
     critic_leaky_slope: float = 0.2,
     pallas_interpret: bool = False,
+    act_dtype: str | None = None,
 ) -> Callable[[TrainState, jax.Array], Tuple[TrainState, dict]]:
     """Build the (unjitted) fused outer step ``(state, key) -> (state, metrics)``.
 
@@ -214,6 +217,16 @@ def build_train_step(
         # trajectories stay reproducible
         k_data, k_crit, _ = jax.random.split(key, 3)
         batch0 = gen_batch(k_data, batch_size)
+        if act_dtype is not None:
+            # bf16 STORAGE of the frame tensors: the step is HBM-bound
+            # (results/perf_hlo_analysis.json), so halving the bytes of
+            # every materialized [B, L, C] tensor and its cotangents is the
+            # main throughput lever; matmuls still read f32 weights and
+            # accumulate f32 (dense_conv), and the models must be built
+            # with the same act_dtype so internal activations match.
+            batch0 = dict(batch0)
+            for k in ("noisy", "clean"):
+                batch0[k] = batch0[k].astype(act_dtype)
         # (the whole body below is traced under the matmul-precision context
         # installed by the step_fn wrapper at the bottom of this builder)
 
@@ -299,6 +312,7 @@ def make_train_step(
     batch_fn: Callable | None = None,
     use_pallas_critic: bool = False,
     pallas_interpret: bool = False,
+    act_dtype: str | None = None,
 ) -> Callable[[TrainState, jax.Array], Tuple[TrainState, dict]]:
     """Single-device jitted fused train step (see ``build_train_step``)."""
     step_fn = build_train_step(
@@ -306,6 +320,7 @@ def make_train_step(
         scan_steps, matmul_precision=matmul_precision,
         use_pallas_datagen=use_pallas_datagen, batch_fn=batch_fn,
         use_pallas_critic=use_pallas_critic, pallas_interpret=pallas_interpret,
+        act_dtype=act_dtype,
     )
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 

@@ -27,6 +27,22 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 HBM_GBPS = 819.0
 
 
+_DTYPE_BYTES = {"f64": 8, "f32": 4, "s32": 4, "u32": 4, "f16": 2, "bf16": 2,
+                "s16": 2, "u16": 2, "s8": 1, "u8": 1, "pred": 1}
+
+
+def _shape_bytes(shape_str):
+    """Bytes of one HLO shape literal like 'f32[65536,16,2]' (0 for tuples)."""
+    m = re.match(r"([a-z0-9]+)\[([0-9,]*)\]", shape_str)
+    if not m or m.group(1) not in _DTYPE_BYTES:
+        return 0
+    dims = [int(d) for d in m.group(2).split(",") if d] or [1]
+    n = 1
+    for d in dims:
+        n *= d
+    return n * _DTYPE_BYTES[m.group(1)]
+
+
 def analyze(step_fn, state, key, label, batch, n_steps=1):
     import jax
 
@@ -37,12 +53,26 @@ def analyze(step_fn, state, key, label, batch, n_steps=1):
         cost = cost[0]
     hlo = compiled.as_text()
 
-    fusions = Counter()
-    fusion_bytes = 0
-    for m in re.finditer(r"fusion[^=]*=\s*\w+\[([^\]]*)\]", hlo):
-        pass
-    # inventory: opcode histogram of the optimized module
-    ops = Counter(re.findall(r"= ([a-z][a-z0-9\-]*)\(", hlo))
+    # inventory: opcode histogram of the optimized module (HLO text is
+    # `%name = f32[...]{...} opcode(...)` — opcode follows the shape)
+    ops = Counter(re.findall(r"=\s+(?:\([^)]*\)|[a-z0-9]+\[[0-9,]*\](?:\{[^}]*\})?)\s+([a-z][a-z0-9\-]*)\(", hlo))
+
+    # per-op OUTPUT bytes, ranked: where do the materialized tensors live?
+    # (entry-computation root lines only would under-count; sum every
+    # non-nested instruction's output — nested fusion bodies are indented
+    # more than 4 spaces in the text dump, top-level two-space lines count)
+    out_bytes = Counter()
+    for m in re.finditer(
+            r"^  %?[\w.\-]+ = ([a-z0-9]+\[[0-9,]*\])(?:\{[^}]*\})? ([a-z][a-z0-9\-]*)\(",
+            hlo, re.M):
+        out_bytes[m.group(2)] += _shape_bytes(m.group(1))
+    top_outputs = []
+    for m in re.finditer(
+            r"^  %?([\w.\-]+) = ([a-z0-9]+\[[0-9,]*\])(?:\{[^}]*\})? ([a-z][a-z0-9\-]*)\(",
+            hlo, re.M):
+        top_outputs.append((_shape_bytes(m.group(2)), m.group(1),
+                            m.group(3), m.group(2)))
+    top_outputs.sort(reverse=True)
 
     flops = float(cost.get("flops", 0.0))
     bytes_acc = float(cost.get("bytes accessed", 0.0))
@@ -56,6 +86,10 @@ def analyze(step_fn, state, key, label, batch, n_steps=1):
         "hbm_roofline_ns_per_frame": bytes_acc / frames / HBM_GBPS,
         "op_histogram": dict(ops.most_common(20)),
         "n_fusions": ops.get("fusion", 0),
+        "output_bytes_by_opcode": {k: v for k, v in out_bytes.most_common(12)},
+        "top_output_tensors": [
+            {"bytes": b, "name": n, "op": o, "shape": s}
+            for b, n, o, s in top_outputs[:25]],
     }
     return report, hlo
 
@@ -65,6 +99,8 @@ def main():
     ap.add_argument("--batch", type=int, default=65536)
     ap.add_argument("--packed", type=int, nargs="*", default=[0, 4])
     ap.add_argument("--precision", default="tensorfloat32")
+    ap.add_argument("--act_dtype", default=None, choices=[None, "bfloat16"],
+                    help="activation storage dtype for the unpacked variant")
     ap.add_argument("--out", default="results/perf_hlo_analysis.json")
     ap.add_argument("--dump_hlo_dir", default=None)
     ap.add_argument("--platform", default=None)
@@ -83,7 +119,8 @@ def main():
     from ofdmgan_tpu.ops.packed_step import build_packed_train_step
 
     key = jax.random.PRNGKey(0)
-    gen, critic = MiniGenerator(), MiniDiscriminator()
+    gen = MiniGenerator(act_dtype=args.act_dtype)
+    critic = MiniDiscriminator(act_dtype=args.act_dtype)
     x0 = jnp.zeros((1, 16, 2), jnp.float32)
     tx_g, tx_d = make_adam(2e-4), make_adam(2e-4)
     state = TrainState.create(gen.init(key, x0), critic.init(key, x0, x0),
@@ -101,8 +138,9 @@ def main():
         else:
             step = build_train_step(
                 gen.apply, critic.apply, tx_g, tx_d, dg, loss_cfg, args.batch,
-                matmul_precision=args.precision)
-            label = f"unpacked_{args.precision}"
+                matmul_precision=args.precision, act_dtype=args.act_dtype)
+            label = f"unpacked_{args.precision}" + (
+                f"_act{args.act_dtype}" if args.act_dtype else "")
         print(f"compiling {label} (batch {args.batch})...", flush=True)
         rep, hlo = analyze(step, state, key, label, args.batch)
         reports.append(rep)

@@ -82,6 +82,42 @@ class TestTrainStep:
         new_state, metrics = step(state, KEY)
         assert np.isfinite(float(metrics["d_loss"]))
 
+    def test_bf16_activation_storage_step(self):
+        # act_dtype="bfloat16" is a STORAGE format: params, matmul
+        # accumulation and optimizer state stay f32, but materialized
+        # activations (and the batch tensors) are held in bf16, halving the
+        # HBM traffic of the memory-bound fused step. First-step metrics
+        # must track the f32 step closely, and training must still learn.
+        gen, critic, tx_g, tx_d, state, dg, loss = _setup()
+        gen_b = MiniGenerator(act_dtype="bfloat16")
+        critic_b = MiniDiscriminator(act_dtype="bfloat16")
+        step_f32 = make_train_step(
+            gen.apply, critic.apply, tx_g, tx_d, dg, loss, 64, donate=False)
+        step_b16 = make_train_step(
+            gen_b.apply, critic_b.apply, tx_g, tx_d, dg, loss, 64,
+            act_dtype="bfloat16", donate=False)
+        _, m32 = step_f32(state, KEY)
+        new_state, m16 = step_b16(state, KEY)
+        for k in ("d_loss", "g_loss", "rec_loss", "gradient_penalty"):
+            a, b = float(m32[k]), float(m16[k])
+            assert np.isfinite(b), k
+            assert abs(a - b) <= 0.05 * max(1.0, abs(a)), (k, a, b)
+        # params stayed f32 and moved
+        for leaf in jax.tree_util.tree_leaves(new_state.params_g):
+            assert leaf.dtype == jnp.float32
+        # learns: ~200 steps at batch 256 shrink eval L1 like the f32 path
+        tx_g2, tx_d2 = make_adam(1e-3), make_adam(1e-3)
+        st = TrainState.create(state.params_g, state.params_d, tx_g2, tx_d2)
+        step = make_train_step(
+            gen_b.apply, critic_b.apply, tx_g2, tx_d2, dg, loss, 256,
+            scan_steps=20, act_dtype="bfloat16", donate=False)
+        ev = make_eval_step(gen.apply, dg, 1024)
+        before = float(ev(st.params_g, jax.random.PRNGKey(99))["rec_loss"])
+        for i in range(10):
+            st, _ = step(st, jax.random.fold_in(KEY, i))
+        after = float(ev(st.params_g, jax.random.PRNGKey(99))["rec_loss"])
+        assert after < before * 0.8, (before, after)
+
     def test_eval_step(self):
         gen, critic, tx_g, tx_d, state, dg, loss = _setup()
         ev = make_eval_step(gen.apply, dg, 64)

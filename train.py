@@ -116,6 +116,13 @@ def main():
                              "results/RESULTS.md on bf16 collapse; the "
                              "bf16_*gp modes run bf16 everywhere except the "
                              "gradient-penalty chain)")
+    parser.add_argument("--act_dtype", default=None,
+                        choices=["bfloat16"],
+                        help="activation STORAGE dtype for the train step "
+                             "(params, matmul accumulation and optimizer "
+                             "state stay float32; halves HBM traffic of the "
+                             "memory-bound step — see results/RESULTS.md "
+                             "§bf16 storage)")
     parser.add_argument("--quant_bits", type=int, nargs=2, default=None,
                         metavar=("WEIGHT_BITS", "ACT_BITS"),
                         help="full model only: quantization-aware training "
@@ -254,6 +261,7 @@ def main():
         rtl_faithful=args.rtl_qat,
         matmul_precision=args.matmul_precision,
         ema_decay=args.ema,
+        act_dtype=args.act_dtype,
     )
     from ofdmgan_tpu.models import count_parameters
 
