@@ -50,6 +50,13 @@ def main():
                          "(tests/test_packed_step.py)")
     ap.add_argument("--batch", type=int, default=65_536)
     ap.add_argument("--scan_steps", type=int, default=128)
+    ap.add_argument("--flat", action="store_true",
+                    help="flat-layout applies (models/flat.py): activations "
+                         "stay [B, F] end-to-end, upsample/concat/pool folded "
+                         "into the dense layer matrices — removes the "
+                         "[B, L, C] relayout/materialization passes that "
+                         "dominate the device profile "
+                         "(results/profile_step_bf16mixed.json)")
     ap.add_argument("--act_dtype", default=None, choices=[None, "bfloat16"],
                     help="activation STORAGE dtype: bf16 halves the HBM "
                          "traffic of the (memory-bound) step while matmuls "
@@ -97,14 +104,30 @@ def main():
             donate_argnums=0,
         )
     else:
+        gen_apply, critic_apply, batch_fn = gen.apply, critic.apply, None
+        if args.flat:
+            from ofdmgan_tpu.models.flat import (make_critic_flat_apply,
+                                                 make_generator_flat_apply)
+            from ofdmgan_tpu.signal import synthetic_batch
+
+            gen_apply = make_generator_flat_apply(act_dtype=args.act_dtype)
+            critic_apply = make_critic_flat_apply(act_dtype=args.act_dtype)
+
+            def batch_fn(k, n):
+                # keep the batch flat [B, 32] end-to-end (the only [B,L,C]
+                # tensor is inside datagen's own fused producer)
+                b = synthetic_batch(k, n, dg)
+                return {**b, "noisy": b["noisy"].reshape(n, -1),
+                        "clean": b["clean"].reshape(n, -1)}
+
         step = jax.jit(
             make_train_step(
-                gen.apply, critic.apply, tx_g, tx_d, dg, loss_cfg,
+                gen_apply, critic_apply, tx_g, tx_d, dg, loss_cfg,
                 batch_size=batch, scan_steps=scan_steps,
                 use_pallas_datagen=args.pallas_datagen,
                 use_pallas_critic=args.pallas_critic,
                 matmul_precision=args.matmul_precision,
-                act_dtype=args.act_dtype,
+                act_dtype=args.act_dtype, batch_fn=batch_fn,
             ),
             donate_argnums=0,
         )

@@ -1,0 +1,142 @@
+"""Flat-layout (relayout-free) applies for the mini generator/critic.
+
+Every layer of the mini U-Net and critic is already a dense matmul on the
+flattened frame (ops/dense_conv.py), but the standard flax path still
+materializes ``[B, L, C]`` views between layers. On TPU each view change
+can become a physical (8,128)-tile relayout pass over HBM, and the
+nearest-neighbor upsamples / skip concat materialize further ``[B, L, C]``
+intermediates. Device profiling of the fused train step
+(results/profile_step_bf16mixed.json, scripts/profile_step.py) shows these
+passes — not the matmuls — dominate: ~60 small HBM-bound fusions at ~2.2%
+MXU time.
+
+This module computes the SAME functions (same parameter trees, parity
+tested in tests/test_flat_model.py) with activations kept ``[B, F]``
+end-to-end:
+
+* upsample_nearest_2x is a fixed 0/1 linear map ``U``; it is folded into
+  the NEXT conv's dense matrix at trace time (``U @ A`` is a [32,64]@[64,32]
+  matmul on parameters — free at batch scale), so no upsampled tensor is
+  ever materialized;
+* the critic's candidate/condition channel concat is split into TWO
+  matmuls against row-slices of conv1's dense matrix — no concatenated
+  input is materialized, and the gradient-penalty's grad w.r.t. the
+  candidate flows through only the candidate matmul;
+* the global sum pool + final Dense fold into one ``[F, 1]`` vector
+  (``q[t*C+c] = dense_kernel[c]``), keeping the f32 pool accumulation of
+  models/critic.py via the matmul's f32 accumulator.
+
+Generator: 4 chained [B,32]@[32,32] matmuls + 1 add. Critic: 3 matmuls.
+
+Behavioral parity target: reference models/generator.py:83-233 and
+models/discriminator.py:21-76 — via exact numerical parity with
+models/{generator,critic}.py (tolerance = f32 summation-order noise).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax.numpy as jnp
+import numpy as np
+from jax.nn import leaky_relu
+
+from ..ops.dense_conv import conv1d_dense_matrix
+
+
+def _upsample_matrix(l_in: int, c: int) -> np.ndarray:
+    """Nearest-neighbor x2 upsample along L as a [l_in*c, 2*l_in*c] 0/1 map
+    (flat index convention t*C + c, ops/dense_conv.py docstring)."""
+    u = np.zeros((l_in * c, 2 * l_in * c), np.float32)
+    for t in range(l_in):
+        for ch in range(c):
+            u[t * c + ch, (2 * t) * c + ch] = 1.0
+            u[t * c + ch, (2 * t + 1) * c + ch] = 1.0
+    return u
+
+
+def _mm(h: jnp.ndarray, a: jnp.ndarray) -> jnp.ndarray:
+    # accumulate in the promoted dtype: bf16 storage x f32 weights -> f32
+    # products/accumulator (same rule as ops/dense_conv.conv1d_via_matmul)
+    return jnp.matmul(h, a, preferred_element_type=jnp.promote_types(h.dtype, a.dtype))
+
+
+def make_generator_flat_apply(
+    frame_length: int = 16,
+    input_channels: int = 2,
+    output_channels: int = 2,
+    enc1_channels: int = 4,
+    bottleneck_channels: int = 8,
+    dec1_channels: int = 4,
+    leaky_slope: float = 0.2,
+    act_dtype: str | None = None,
+    input_residual: bool = False,
+) -> Callable:
+    """Returns ``apply(variables, x) -> y`` numerically matching
+    ``MiniGenerator(...).apply`` for the standard (non-QAT, non-RTL) config.
+    ``x`` may be ``[B, L, C]`` or flat ``[B, L*C]``; output shape follows."""
+    L = frame_length
+    u1 = jnp.asarray(_upsample_matrix(L // 4, bottleneck_channels))
+    u2 = jnp.asarray(_upsample_matrix(L // 2, dec1_channels))
+    cast = (lambda a: a.astype(act_dtype)) if act_dtype else (lambda a: a)
+
+    def apply(variables, x):
+        p = variables["params"]
+        xf = x.reshape(x.shape[0], L * input_channels)
+        a_e = conv1d_dense_matrix(p["enc1"]["conv_kernel"], L, 2, 1)
+        b_e = jnp.tile(p["enc1"]["conv_bias"], L // 2)
+        a_b = conv1d_dense_matrix(p["bottleneck"]["conv_kernel"], L // 2, 2, 1)
+        b_b = jnp.tile(p["bottleneck"]["conv_bias"], L // 4)
+        a_d = u1 @ conv1d_dense_matrix(p["dec1"]["conv_kernel"], L // 2, 1, 1)
+        b_d = jnp.tile(p["dec1"]["conv_bias"], L // 2)
+        a_o = u2 @ conv1d_dense_matrix(p["out_conv_kernel"], L, 1, 1)
+        b_o = jnp.tile(p["out_conv_bias"], L)
+
+        h1 = cast(leaky_relu(_mm(xf, a_e) + b_e, leaky_slope))
+        h2 = cast(leaky_relu(_mm(h1, a_b) + b_b, leaky_slope))
+        h3 = cast(leaky_relu(_mm(h2, a_d) + b_d, leaky_slope))
+        h4 = h3 + h1  # additive skip (generator.py:171)
+        out = _mm(h4, a_o) + b_o
+        y = xf.astype(out.dtype) + out if input_residual else jnp.tanh(out)
+        return y.reshape(x.shape[0], L, output_channels) if x.ndim == 3 else y
+
+    return apply
+
+
+def make_critic_flat_apply(
+    frame_length: int = 16,
+    conv1_channels: int = 8,
+    conv2_channels: int = 16,
+    leaky_slope: float = 0.2,
+    act_dtype: str | None = None,
+) -> Callable:
+    """Returns ``apply(variables, candidate, condition) -> [B, 1]``
+    numerically matching ``MiniDiscriminator(...).apply``."""
+    L = frame_length
+    cin = 4  # candidate I/Q + condition I/Q concatenated on channels
+    # concat flat index t*4 + {0,1}=candidate, {2,3}=condition; split conv1's
+    # dense-matrix ROWS so the concat never materializes
+    rows_cand = np.array([t * cin + c for t in range(L) for c in (0, 1)])
+    rows_cond = np.array([t * cin + c for t in range(L) for c in (2, 3)])
+    cast = (lambda a: a.astype(act_dtype)) if act_dtype else (lambda a: a)
+
+    def apply(variables, candidate, condition):
+        p = variables["params"]
+        b = candidate.shape[0]
+        candf = candidate.reshape(b, L * 2)
+        condf = condition.reshape(b, L * 2)
+        a1 = conv1d_dense_matrix(p["conv1_kernel"], L, 2, 1)
+        b1 = jnp.tile(p["conv1_bias"], L // 2)
+        a2 = conv1d_dense_matrix(p["conv2_kernel"], L // 2, 2, 1)
+        b2 = jnp.tile(p["conv2_bias"], L // 4)
+        # pool+dense folded: q[t*C+c] = dense_kernel[c, 0]
+        q = jnp.tile(p["dense"]["kernel"][:, 0], L // 4)[:, None]
+
+        z1 = _mm(candf, a1[rows_cand]) + _mm(condf, a1[rows_cond]) + b1
+        h1 = cast(leaky_relu(z1, leaky_slope))
+        h2 = leaky_relu(_mm(h1, a2) + b2, leaky_slope)
+        # h2 @ q accumulates in f32 (q is f32) = the f32 sum pool of
+        # models/critic.py:48
+        return _mm(h2, q) + p["dense"]["bias"]
+
+    return apply

@@ -129,10 +129,14 @@ def _make_kernel(frame_length: int, nonlinear: bool,
         # inverse DFT on the MXU (block-diagonal basis): clean = s @ W_bd
         bdr = bdr_ref[:]
         bdi = bdi_ref[:]
-        clean_r = (jnp.dot(s_r, bdr, preferred_element_type=jnp.float32)
-                   - jnp.dot(s_i, bdi, preferred_element_type=jnp.float32))
-        clean_i = (jnp.dot(s_r, bdi, preferred_element_type=jnp.float32)
-                   + jnp.dot(s_i, bdr, preferred_element_type=jnp.float32))
+        clean_r = (jnp.dot(s_r, bdr, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+                   - jnp.dot(s_i, bdi, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST))
+        clean_i = (jnp.dot(s_r, bdi, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+                   + jnp.dot(s_i, bdr, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST))
 
         x_r, x_i = clean_r, clean_i
         if nonlinear:
@@ -159,14 +163,16 @@ def _make_kernel(frame_length: int, nonlinear: bool,
             # increments — prefix sum as a block-triangular MXU matmul.
             w1, _ = _normals((rows, W))
             theta = jnp.dot(w1 * jnp.float32(pn_sigma), tri_ref[:],
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
             c, s = jnp.cos(theta), jnp.sin(theta)
             x_r, x_i = x_r * c - x_i * s, x_r * s + x_i * c
 
         # per-frame mean power of the DISTORTED signal (channel.awgn measures
         # its input's power), broadcast to all L samples (segment matmul)
         power = jnp.dot(x_r * x_r + x_i * x_i, seg_ref[:],
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
 
         # per-frame SNR, constant across the frame's samples: draw
         # per-sample uniforms, keep only each frame's first sample, and
@@ -175,7 +181,8 @@ def _make_kernel(frame_length: int, nonlinear: bool,
         lane = jax.lax.broadcasted_iota(jnp.int32, (rows, W), 1)
         first = (lane % L) == 0
         u_first = jnp.where(first, u, 0.0)
-        u_frame = jnp.dot(u_first, seg_ref[:], preferred_element_type=jnp.float32) * L
+        u_frame = jnp.dot(u_first, seg_ref[:], preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST) * L
         snr_db = snr_ref[0] + (snr_ref[1] - snr_ref[0]) * u_frame
 
         noise_power = power * jnp.exp2(-snr_db * jnp.float32(np.log2(10.0) / 10.0))
