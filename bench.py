@@ -57,6 +57,16 @@ def main():
                          "[B, L, C] relayout/materialization passes that "
                          "dominate the device profile "
                          "(results/profile_step_bf16mixed.json)")
+    ap.add_argument("--mm", default="ambient", choices=["ambient", "tf32x3"],
+                    help="flat-apply matmul implementation (requires --flat): "
+                         "'tf32x3' pins every model dot to the explicit bf16x3 "
+                         "MXU decomposition (models/flat.tf32_matmul) — with "
+                         "bf16 activation storage the activation low-half is "
+                         "exactly zero, so each dot is 2 MXU passes instead of "
+                         "the ambient tensorfloat32 context's 3")
+    ap.add_argument("--critic_unroll", type=int, default=1,
+                    help="unroll factor for the n_critic inner scan "
+                         "(pure codegen, identical numerics)")
     ap.add_argument("--act_dtype", default=None, choices=[None, "bfloat16"],
                     help="activation STORAGE dtype: bf16 halves the HBM "
                          "traffic of the (memory-bound) step while matmuls "
@@ -108,17 +118,20 @@ def main():
         if args.flat:
             from ofdmgan_tpu.models.flat import (make_critic_flat_apply,
                                                  make_generator_flat_apply)
-            from ofdmgan_tpu.signal import synthetic_batch
+            from ofdmgan_tpu.signal.datagen import synthetic_batch_flat
 
-            gen_apply = make_generator_flat_apply(act_dtype=args.act_dtype)
-            critic_apply = make_critic_flat_apply(act_dtype=args.act_dtype)
+            gen_apply = make_generator_flat_apply(act_dtype=args.act_dtype,
+                                                  mm=args.mm)
+            critic_apply = make_critic_flat_apply(act_dtype=args.act_dtype,
+                                                  mm=args.mm)
 
             def batch_fn(k, n):
-                # keep the batch flat [B, 32] end-to-end (the only [B,L,C]
-                # tensor is inside datagen's own fused producer)
-                b = synthetic_batch(k, n, dg)
-                return {**b, "noisy": b["noisy"].reshape(n, -1),
-                        "clean": b["clean"].reshape(n, -1)}
+                # matmul-form datagen born flat [B, 32]: no FFT lowering, no
+                # complex<->I/Q relayouts, no [B, L, C] tensor anywhere in
+                # the step (parity: tests/test_flat_model.py)
+                return synthetic_batch_flat(k, n, dg)
+        elif args.mm != "ambient":
+            ap.error("--mm requires --flat")
 
         step = jax.jit(
             make_train_step(
@@ -128,6 +141,7 @@ def main():
                 use_pallas_critic=args.pallas_critic,
                 matmul_precision=args.matmul_precision,
                 act_dtype=args.act_dtype, batch_fn=batch_fn,
+                critic_unroll=args.critic_unroll,
             ),
             donate_argnums=0,
         )

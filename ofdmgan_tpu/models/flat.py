@@ -37,6 +37,7 @@ from __future__ import annotations
 
 from typing import Callable
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.nn import leaky_relu
@@ -61,6 +62,59 @@ def _mm(h: jnp.ndarray, a: jnp.ndarray) -> jnp.ndarray:
     return jnp.matmul(h, a, preferred_element_type=jnp.promote_types(h.dtype, a.dtype))
 
 
+def _dot_default(x, a):
+    """One MXU pass (bf16 operands), f32 accumulation — explicit DEFAULT
+    precision so no ambient default_matmul_precision context leaks in."""
+    return jax.lax.dot_general(
+        x, a, (((x.ndim - 1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32)
+
+
+@jax.custom_jvp
+def tf32_matmul(x: jnp.ndarray, a: jnp.ndarray) -> jnp.ndarray:
+    """Tensorfloat32-equivalent matmul as an explicit bf16x3 MXU
+    decomposition: ``x@a ~ xh@ah + xh@al + xl@ah`` with f32 accumulation
+    (~19 mantissa bits carried — the same error-compensated scheme XLA's
+    precision=HIGH uses on the MXU).
+
+    Why not just precision=HIGH: inside the fused train step XLA lowers the
+    GP chain's HIGH-precision dots with batch-in-lanes VPU convolution
+    emitters at ~5x the MXU cost (profile: results/profile_step_flat.json,
+    broadcast_compare_fusion at 162k estimated cycles). The explicit
+    decomposition pins every pass to the fast DEFAULT MXU path. custom_jvp
+    recursion makes ALL derivative orders (the GP needs grad-of-grad) use
+    the same decomposition, so the validated ">= tf32 through the whole GP
+    chain" stability property (results/RESULTS.md §tf32) is preserved in
+    forward, reverse, and second-order transposes alike."""
+    f32 = jnp.float32
+    if x.dtype == jnp.bfloat16:
+        xh, xl = x, None
+    else:
+        xh = x.astype(jnp.bfloat16)
+        xl = (x - xh.astype(f32)).astype(jnp.bfloat16)
+    if a.dtype == jnp.bfloat16:
+        ah, al = a, None
+    else:
+        ah = a.astype(jnp.bfloat16)
+        al = (a - ah.astype(f32)).astype(jnp.bfloat16)
+    y = _dot_default(xh, ah)
+    if al is not None:
+        y = y + _dot_default(xh, al)
+    if xl is not None:
+        y = y + _dot_default(xl, ah)
+    return y
+
+
+@tf32_matmul.defjvp
+def _tf32_matmul_jvp(primals, tangents):
+    x, a = primals
+    dx, da = tangents
+    y = tf32_matmul(x, a)
+    dy = tf32_matmul(dx, a) + tf32_matmul(x.astype(jnp.float32), da)
+    return y, dy
+
+
 def make_generator_flat_apply(
     frame_length: int = 16,
     input_channels: int = 2,
@@ -71,14 +125,20 @@ def make_generator_flat_apply(
     leaky_slope: float = 0.2,
     act_dtype: str | None = None,
     input_residual: bool = False,
+    mm: str = "ambient",
 ) -> Callable:
     """Returns ``apply(variables, x) -> y`` numerically matching
     ``MiniGenerator(...).apply`` for the standard (non-QAT, non-RTL) config.
-    ``x`` may be ``[B, L, C]`` or flat ``[B, L*C]``; output shape follows."""
+    ``x`` may be ``[B, L, C]`` or flat ``[B, L*C]``; output shape follows.
+
+    ``mm`` selects the batch-side matmul implementation — see
+    ``make_critic_flat_apply``. The tiny parameter-side folds (``U @ A``)
+    always ride the ambient precision (f32 operands, loop-invariant cost)."""
     L = frame_length
     u1 = jnp.asarray(_upsample_matrix(L // 4, bottleneck_channels))
     u2 = jnp.asarray(_upsample_matrix(L // 2, dec1_channels))
     cast = (lambda a: a.astype(act_dtype)) if act_dtype else (lambda a: a)
+    dot = {"ambient": _mm, "tf32x3": tf32_matmul}[mm]
 
     def apply(variables, x):
         p = variables["params"]
@@ -92,11 +152,11 @@ def make_generator_flat_apply(
         a_o = u2 @ conv1d_dense_matrix(p["out_conv_kernel"], L, 1, 1)
         b_o = jnp.tile(p["out_conv_bias"], L)
 
-        h1 = cast(leaky_relu(_mm(xf, a_e) + b_e, leaky_slope))
-        h2 = cast(leaky_relu(_mm(h1, a_b) + b_b, leaky_slope))
-        h3 = cast(leaky_relu(_mm(h2, a_d) + b_d, leaky_slope))
+        h1 = cast(leaky_relu(dot(xf, a_e) + b_e, leaky_slope))
+        h2 = cast(leaky_relu(dot(h1, a_b) + b_b, leaky_slope))
+        h3 = cast(leaky_relu(dot(h2, a_d) + b_d, leaky_slope))
         h4 = h3 + h1  # additive skip (generator.py:171)
-        out = _mm(h4, a_o) + b_o
+        out = dot(h4, a_o) + b_o
         y = xf.astype(out.dtype) + out if input_residual else jnp.tanh(out)
         return y.reshape(x.shape[0], L, output_channels) if x.ndim == 3 else y
 
@@ -109,9 +169,16 @@ def make_critic_flat_apply(
     conv2_channels: int = 16,
     leaky_slope: float = 0.2,
     act_dtype: str | None = None,
+    mm: str = "ambient",
 ) -> Callable:
     """Returns ``apply(variables, candidate, condition) -> [B, 1]``
-    numerically matching ``MiniDiscriminator(...).apply``."""
+    numerically matching ``MiniDiscriminator(...).apply``.
+
+    ``mm="ambient"``: dots follow the ambient default_matmul_precision
+    (the W-chain). ``mm="tf32x3"``: every dot is the explicit bf16x3 MXU
+    decomposition (``tf32_matmul``) regardless of ambient context — built
+    for the gradient-penalty chain, whose HIGH-precision dots XLA otherwise
+    lowers through ~5x-slower VPU emitters (see tf32_matmul docstring)."""
     L = frame_length
     cin = 4  # candidate I/Q + condition I/Q concatenated on channels
     # concat flat index t*4 + {0,1}=candidate, {2,3}=condition; split conv1's
@@ -119,6 +186,7 @@ def make_critic_flat_apply(
     rows_cand = np.array([t * cin + c for t in range(L) for c in (0, 1)])
     rows_cond = np.array([t * cin + c for t in range(L) for c in (2, 3)])
     cast = (lambda a: a.astype(act_dtype)) if act_dtype else (lambda a: a)
+    dot = {"ambient": _mm, "tf32x3": tf32_matmul}[mm]
 
     def apply(variables, candidate, condition):
         p = variables["params"]
@@ -132,11 +200,11 @@ def make_critic_flat_apply(
         # pool+dense folded: q[t*C+c] = dense_kernel[c, 0]
         q = jnp.tile(p["dense"]["kernel"][:, 0], L // 4)[:, None]
 
-        z1 = _mm(candf, a1[rows_cand]) + _mm(condf, a1[rows_cond]) + b1
+        z1 = dot(candf, a1[rows_cand]) + dot(condf, a1[rows_cond]) + b1
         h1 = cast(leaky_relu(z1, leaky_slope))
-        h2 = leaky_relu(_mm(h1, a2) + b2, leaky_slope)
+        h2 = leaky_relu(dot(h1, a2) + b2, leaky_slope)
         # h2 @ q accumulates in f32 (q is f32) = the f32 sum pool of
         # models/critic.py:48
-        return _mm(h2, q) + p["dense"]["bias"]
+        return dot(h2, q) + p["dense"]["bias"]
 
     return apply

@@ -73,6 +73,7 @@ def make_sharded_train_step(
     matmul_precision: str = "float32",
     batch_fn: Optional[Callable] = None,
     act_dtype: Optional[str] = None,
+    critic_unroll: int = 1,
 ) -> Callable[[TrainState, jax.Array], Tuple[TrainState, dict]]:
     """Data-parallel fused train step over ``mesh`` axis ``dp``.
 
@@ -104,6 +105,7 @@ def make_sharded_train_step(
         matmul_precision=matmul_precision,
         batch_fn=batch_fn,
         act_dtype=act_dtype,
+        critic_unroll=critic_unroll,
     )
 
     def per_replica(state: TrainState, key: jax.Array):

@@ -22,9 +22,11 @@ Returns channels-last I/Q ``[B, L, 2]``.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import channel as channel_lib
 from . import impairments as imp_lib
@@ -98,6 +100,78 @@ def synthetic_batch(key: jax.Array, batch_size: int, cfg: DatagenConfig):
     clean_iq = complex_to_iq(clean).astype(jnp.float32)
     noisy_iq, clean_iq = joint_max_normalize(noisy_iq, clean_iq)
     return {"noisy": noisy_iq, "clean": clean_iq, "snr": snr}
+
+
+@functools.lru_cache(maxsize=None)
+def _flat_dft_mats(l: int):
+    """(Mr, Mi, Er, Ei): [L, 2L] f32 matrices mapping the raw normal draws to
+    interleaved-I/Q flat frames.
+
+    ``clean_flat = zr @ Mr + zi @ Mi`` equals ``complex_to_iq(ifft((zr+j·zi)/
+    sqrt(2))·sqrt(L)).reshape(B, 2L)``; ``Er``/``Ei`` interleave the AWGN
+    draws (``noise_flat = nr @ Er + ni @ Ei``). Everything rides the MXU —
+    no FFT lowering, no complex<->I/Q relayout passes (the jit(fft) and
+    iq.py fusions dominate the datagen slice of the device profile,
+    results/profile_step_flat.json)."""
+    t = np.arange(l)[:, None]
+    k = np.arange(l)[None, :]
+    c = np.exp(2j * np.pi * t * k / l)  # c[t, k] = e^{+j2pi t k / l}
+    s = 1.0 / np.sqrt(2.0 * l)  # (1/L from ifft) * sqrt(L) / sqrt(2)
+    mr = np.zeros((l, 2 * l), np.float32)
+    mi = np.zeros((l, 2 * l), np.float32)
+    er = np.zeros((l, 2 * l), np.float32)
+    ei = np.zeros((l, 2 * l), np.float32)
+    for tt in range(l):
+        for kk in range(l):
+            mr[kk, 2 * tt] = s * c[tt, kk].real
+            mr[kk, 2 * tt + 1] = s * c[tt, kk].imag
+            mi[kk, 2 * tt] = -s * c[tt, kk].imag
+            mi[kk, 2 * tt + 1] = s * c[tt, kk].real
+        er[tt, 2 * tt] = 1.0
+        ei[tt, 2 * tt + 1] = 1.0
+    return jnp.asarray(mr), jnp.asarray(mi), jnp.asarray(er), jnp.asarray(ei)
+
+
+def synthetic_batch_flat(key: jax.Array, batch_size: int, cfg: DatagenConfig):
+    """``synthetic_batch`` for the linear-AWGN config with flat ``[B, 2L]``
+    interleaved-I/Q outputs and no FFT / complex ops.
+
+    Draws the SAME PRNG stream as ``synthetic_batch`` (same split structure,
+    same shapes, same order), so outputs equal
+    ``synthetic_batch(...)["noisy"].reshape(B, 2L)`` to f32 matmul-vs-FFT
+    rounding (parity: tests/test_flat_model.py). Built for the flat-layout
+    fused train step (models/flat.py, bench.py --flat)."""
+    if cfg.nonlinear or cfg.channel.kind != "awgn":
+        raise ValueError("synthetic_batch_flat covers the linear AWGN config; "
+                         "use synthetic_batch otherwise")
+    l = cfg.frame_length
+    mr, mi, er, ei = _flat_dft_mats(l)
+    k_sym, k_imp, k_snr, k_ch = jax.random.split(key, 4)
+
+    kr, ki = jax.random.split(k_sym)
+    zr = jax.random.normal(kr, (batch_size, l), jnp.float32)
+    zi = jax.random.normal(ki, (batch_size, l), jnp.float32)
+    clean = zr @ mr + zi @ mi  # [B, 2L] interleaved I/Q, unit mean power
+
+    snr = jax.random.uniform(
+        k_snr, (batch_size,), jnp.float32, cfg.snr_min, cfg.snr_max
+    )
+    # channel_lib.awgn's stream: split(k_ch) -> (kr, ki), per-frame power of
+    # the channel input, per-dimension sigma = sqrt(P/10^(SNR/10)/2)
+    power = jnp.sum(clean * clean, axis=-1, keepdims=True) / l
+    std = jnp.sqrt(power / (10.0 ** (snr[:, None] / 10.0)) / 2.0)
+    kr2, ki2 = jax.random.split(k_ch)
+    nr = jax.random.normal(kr2, (batch_size, l), jnp.float32)
+    ni = jax.random.normal(ki2, (batch_size, l), jnp.float32)
+    noisy = clean + std * (nr @ er + ni @ ei)
+
+    # joint max-abs normalization (utils/iq.joint_max_normalize semantics)
+    m = jnp.maximum(
+        jnp.max(jnp.abs(noisy), axis=-1, keepdims=True),
+        jnp.max(jnp.abs(clean), axis=-1, keepdims=True),
+    )
+    m = jnp.maximum(m, 1e-12)
+    return {"noisy": noisy / m, "clean": clean / m, "snr": snr}
 
 
 def test_batch_at_snr(key: jax.Array, batch_size: int, snr_db: float, cfg: DatagenConfig):

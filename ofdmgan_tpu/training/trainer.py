@@ -69,6 +69,9 @@ class Trainer:
         matmul_precision: str = "float32",
         ema_decay: float = 0.0,
         act_dtype: Optional[str] = None,
+        flat_step: bool = False,
+        mm: str = "ambient",
+        critic_unroll: int = 1,
     ):
         """``generator``/``discriminator`` inject alternative model families
         (e.g. the full 1024-sample U-Net, models/full_unet.py) in place of
@@ -144,6 +147,49 @@ class Trainer:
             print(f"Image dataset: {len(self.image_dataset.image_files)} images "
                   f"from {image_dir}")
 
+        # throughput mode (bench.py --flat): flat-layout [B, F] applies with
+        # folded upsample/concat/pool, matmul-form datagen, optionally the
+        # explicit bf16x3 dots (mm="tf32x3") — the same parameter tree and
+        # (to rounding) the same functions, so eval/checkpoint/export paths
+        # below keep using the flax modules untouched
+        # (parity: tests/test_flat_model.py).
+        train_gen_apply = self.generator.apply
+        train_critic_apply = self.discriminator.apply
+        user_batch_fn = batch_fn  # image-dataset sampler (drives eval below)
+        if flat_step:
+            if qat or rtl_faithful or generator is not None:
+                raise ValueError("flat_step supports the standard mini "
+                                 "model family (float, tanh/residual head)")
+            from ..models.flat import (make_critic_flat_apply,
+                                       make_generator_flat_apply)
+
+            train_gen_apply = make_generator_flat_apply(
+                frame_length=frame_length,
+                enc1_channels=gcfg.get("enc1_channels", 4),
+                bottleneck_channels=gcfg.get("bottleneck_channels", 8),
+                dec1_channels=gcfg.get("dec1_channels", 4),
+                leaky_slope=gcfg.get("leaky_slope", 0.2),
+                act_dtype=act_dtype,
+                input_residual=gcfg.get("input_residual", False),
+                mm=mm,
+            )
+            train_critic_apply = make_critic_flat_apply(
+                frame_length=frame_length,
+                conv1_channels=dcfg.get("conv1_channels", 8),
+                conv2_channels=dcfg.get("conv2_channels", 16),
+                leaky_slope=dcfg.get("leaky_slope", 0.2),
+                act_dtype=act_dtype,
+                mm=mm,
+            )
+            if (batch_fn is None and not self.dg_cfg.nonlinear
+                    and self.dg_cfg.channel.kind == "awgn"):
+                from ..signal.datagen import synthetic_batch_flat
+
+                dgc = self.dg_cfg
+                batch_fn = lambda k, n: synthetic_batch_flat(k, n, dgc)
+        elif mm != "ambient":
+            raise ValueError("mm requires flat_step")
+
         self.mesh = None
         n_dev = len(jax.devices())
         if data_parallel == 0:
@@ -152,24 +198,31 @@ class Trainer:
             self.mesh = make_mesh({"dp": data_parallel})
             self.state = replicate_state(self.state, self.mesh)
             self._step = make_sharded_train_step(
-                self.generator.apply, self.discriminator.apply,
+                train_gen_apply, train_critic_apply,
                 self.tx_g, self.tx_d, self.dg_cfg, self.loss_cfg,
                 global_batch_size=self.batch_size, mesh=self.mesh,
                 scan_steps=self.scan_steps,
                 matmul_precision=matmul_precision,
                 batch_fn=batch_fn,
                 act_dtype=act_dtype,
+                critic_unroll=critic_unroll,
             )
         else:
             self._step = make_train_step(
-                self.generator.apply, self.discriminator.apply,
+                train_gen_apply, train_critic_apply,
                 self.tx_g, self.tx_d, self.dg_cfg, self.loss_cfg,
                 batch_size=self.batch_size, scan_steps=self.scan_steps,
                 use_pallas_datagen=use_pallas_datagen, batch_fn=batch_fn,
                 matmul_precision=matmul_precision,
                 act_dtype=act_dtype,
+                critic_unroll=critic_unroll,
             )
-        if batch_fn is not None:
+        # validation always evaluates the canonical flax module on the
+        # standard [B, L, 2] eval pipeline, so flat-step runs stay directly
+        # comparable to every other run (the param tree is shared and the
+        # flat applies match the module to rounding)
+        if user_batch_fn is not None:
+            batch_fn = user_batch_fn
             gen_apply = self.generator.apply
             bsz = self.batch_size
 

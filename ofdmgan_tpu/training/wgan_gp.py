@@ -137,6 +137,7 @@ def build_train_step(
     critic_leaky_slope: float = 0.2,
     pallas_interpret: bool = False,
     act_dtype: str | None = None,
+    critic_unroll: int = 1,
 ) -> Callable[[TrainState, jax.Array], Tuple[TrainState, dict]]:
     """Build the (unjitted) fused outer step ``(state, key) -> (state, metrics)``.
 
@@ -261,10 +262,13 @@ def build_train_step(
             params_d = optax.apply_updates(params_d, updates)
             return (params_d, opt_d), aux
 
+        # unrolling the 5-iteration inner scan exposes cross-iteration ILP
+        # to XLA's scheduler (identical numerics; scan unroll is pure codegen)
         (params_d, opt_d), d_auxes = jax.lax.scan(
             critic_body,
             (state.params_d, state.opt_d),
             jax.random.split(k_crit, loss_cfg.n_critic),
+            unroll=critic_unroll,
         )
         # keep the last critic step's metrics, like the reference
         # (train.py:331-334 overwrites d_losses each inner iteration)
@@ -313,6 +317,7 @@ def make_train_step(
     use_pallas_critic: bool = False,
     pallas_interpret: bool = False,
     act_dtype: str | None = None,
+    critic_unroll: int = 1,
 ) -> Callable[[TrainState, jax.Array], Tuple[TrainState, dict]]:
     """Single-device jitted fused train step (see ``build_train_step``)."""
     step_fn = build_train_step(
@@ -320,7 +325,7 @@ def make_train_step(
         scan_steps, matmul_precision=matmul_precision,
         use_pallas_datagen=use_pallas_datagen, batch_fn=batch_fn,
         use_pallas_critic=use_pallas_critic, pallas_interpret=pallas_interpret,
-        act_dtype=act_dtype,
+        act_dtype=act_dtype, critic_unroll=critic_unroll,
     )
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 

@@ -78,6 +78,7 @@ def main():
     ap.add_argument("--batch", type=int, default=65536)
     ap.add_argument("--scan_steps", type=int, default=32)
     ap.add_argument("--act_dtype", default=None, choices=[None, "bfloat16"])
+    ap.add_argument("--flat", action="store_true")
     ap.add_argument("--matmul_precision", default="tensorfloat32")
     ap.add_argument("--trace_dir", default="/tmp/step_trace")
     ap.add_argument("--out", default="results/profile_step.json")
@@ -100,10 +101,23 @@ def main():
     state = TrainState.create(gen.init(key, x0), critic.init(key, x0, x0),
                               tx_g, tx_d)
     dg = DatagenConfig.make(frame_length=16, snr_range=(0, 30))
+    gen_apply, critic_apply, batch_fn = gen.apply, critic.apply, None
+    if args.flat:
+        from ofdmgan_tpu.models.flat import (make_critic_flat_apply,
+                                             make_generator_flat_apply)
+        from ofdmgan_tpu.signal import synthetic_batch
+        gen_apply = make_generator_flat_apply(act_dtype=args.act_dtype)
+        critic_apply = make_critic_flat_apply(act_dtype=args.act_dtype)
+
+        def batch_fn(k, n):
+            b = synthetic_batch(k, n, dg)
+            return {**b, "noisy": b["noisy"].reshape(n, -1),
+                    "clean": b["clean"].reshape(n, -1)}
     step = make_train_step(
-        gen.apply, critic.apply, tx_g, tx_d, dg, LossConfig(),
+        gen_apply, critic_apply, tx_g, tx_d, dg, LossConfig(),
         batch_size=args.batch, scan_steps=args.scan_steps,
-        matmul_precision=args.matmul_precision, act_dtype=args.act_dtype)
+        matmul_precision=args.matmul_precision, act_dtype=args.act_dtype,
+        batch_fn=batch_fn)
 
     def run(state, seed):
         state, metrics = step(state, jax.random.fold_in(key, seed))

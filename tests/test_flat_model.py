@@ -10,11 +10,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from ofdmgan_tpu.models import MiniDiscriminator, MiniGenerator
+from ofdmgan_tpu.models.critic import compute_gradient_penalty
 from ofdmgan_tpu.models.flat import (
     make_critic_flat_apply,
     make_generator_flat_apply,
+    tf32_matmul,
 )
 from ofdmgan_tpu.signal import DatagenConfig, synthetic_batch
+from ofdmgan_tpu.signal.datagen import synthetic_batch_flat
 from ofdmgan_tpu.training import LossConfig, TrainState, make_adam, make_train_step
 
 KEY = jax.random.PRNGKey(7)
@@ -62,8 +65,127 @@ class TestForwardParity:
             flat(params, d["clean"], d["noisy"]), atol=1e-5, rtol=1e-5)
 
 
+class TestFlatDatagen:
+    def test_matches_synthetic_batch(self):
+        """Same PRNG stream, matmul-DFT vs FFT: flat datagen == reference
+        datagen reshaped, to f32 rounding."""
+        dg = DatagenConfig.make(frame_length=16, snr_range=(0, 30))
+        k = jax.random.PRNGKey(11)
+        ref = synthetic_batch(k, 256, dg)
+        flat = synthetic_batch_flat(k, 256, dg)
+        np.testing.assert_allclose(flat["snr"], ref["snr"], rtol=1e-6)
+        for name in ("noisy", "clean"):
+            np.testing.assert_allclose(
+                flat[name], ref[name].reshape(256, 32), atol=3e-5, rtol=1e-4)
+
+    def test_parametric_length(self):
+        dg = DatagenConfig.make(frame_length=64, snr_range=(5, 15))
+        k = jax.random.PRNGKey(12)
+        ref = synthetic_batch(k, 64, dg)
+        flat = synthetic_batch_flat(k, 64, dg)
+        np.testing.assert_allclose(
+            flat["clean"], ref["clean"].reshape(64, 128), atol=5e-5, rtol=1e-4)
+
+    def test_rejects_unsupported_configs(self):
+        import pytest
+        dg = DatagenConfig.make(frame_length=16, nonlinear=True)
+        with pytest.raises(ValueError):
+            synthetic_batch_flat(jax.random.PRNGKey(0), 8, dg)
+
+
+class TestTf32Matmul:
+    def test_forward_accuracy_between_bf16_and_f32(self):
+        """bf16x3 carries ~19 mantissa bits: much closer to f32 than a
+        single bf16 pass."""
+        k1, k2 = jax.random.split(jax.random.PRNGKey(5))
+        x = jax.random.normal(k1, (128, 64), jnp.float32)
+        a = jax.random.normal(k2, (64, 32), jnp.float32)
+        exact = x @ a
+        tf32 = tf32_matmul(x, a)
+        bf16 = (x.astype(jnp.bfloat16).astype(jnp.float32)
+                @ a.astype(jnp.bfloat16).astype(jnp.float32))
+        err_tf32 = float(jnp.abs(tf32 - exact).max())
+        err_bf16 = float(jnp.abs(bf16 - exact).max())
+        assert err_tf32 < 0.35 * err_bf16, (err_tf32, err_bf16)
+        assert err_tf32 < 5e-3
+
+    def test_bf16_input_skips_low_pass(self):
+        """A bf16 operand has an exactly-zero low half — the result must
+        equal the full decomposition on its f32 upcast."""
+        k1, k2 = jax.random.split(jax.random.PRNGKey(6))
+        x = jax.random.normal(k1, (32, 16), jnp.float32).astype(jnp.bfloat16)
+        a = jax.random.normal(k2, (16, 8), jnp.float32)
+        np.testing.assert_allclose(
+            tf32_matmul(x, a), tf32_matmul(x.astype(jnp.float32), a),
+            atol=1e-6, rtol=1e-6)
+
+    def test_gradients_all_orders(self):
+        """grad and grad-of-grad through tf32_matmul agree with exact-f32
+        autodiff to tf32 tolerance (the GP chain needs second order)."""
+        k1, k2 = jax.random.split(jax.random.PRNGKey(7))
+        x = jax.random.normal(k1, (16, 8), jnp.float32)
+        a = jax.random.normal(k2, (8, 4), jnp.float32)
+
+        def loss(f, x, a):
+            g = jax.grad(lambda xx: jnp.sum(jnp.tanh(f(xx, a))))(x)
+            return jnp.sum(g * g)
+
+        exact_val = loss(jnp.matmul, x, a)
+        exact_grad = jax.grad(loss, argnums=2)(jnp.matmul, x, a)
+        val = loss(tf32_matmul, x, a)
+        grad = jax.grad(loss, argnums=2)(tf32_matmul, x, a)
+        np.testing.assert_allclose(val, exact_val, rtol=2e-2)
+        np.testing.assert_allclose(grad, exact_grad, atol=2e-2, rtol=5e-2)
+
+
+class TestTf32x3Apply:
+    def test_critic_forward_close_to_f32(self):
+        critic = MiniDiscriminator()
+        z = jnp.zeros((1, 16, 2))
+        params = critic.init(KEY, z, z)
+        d = _data()
+        ref = critic.apply(params, d["clean"], d["noisy"])
+        out = make_critic_flat_apply(mm="tf32x3")(params, d["clean"], d["noisy"])
+        np.testing.assert_allclose(out, ref, atol=2e-2, rtol=2e-2)
+
+    def test_generator_forward_close_to_f32(self):
+        gen = MiniGenerator()
+        params = gen.init(KEY, jnp.zeros((1, 16, 2)))
+        x = _data()["noisy"]
+        ref = gen.apply(params, x)
+        out = make_generator_flat_apply(mm="tf32x3")(params, x)
+        np.testing.assert_allclose(out, ref, atol=2e-2, rtol=2e-2)
+
+    def test_gradient_penalty_grad_of_grad(self):
+        """The GP (norm of ∇ₓD, then ∇_θ of that) through the explicit
+        decomposition tracks the f32 reference — second-order transposes
+        included, via custom_jvp recursion."""
+        critic = MiniDiscriminator()
+        z = jnp.zeros((1, 16, 2))
+        params = critic.init(KEY, z, z)
+        d = _data()
+        fake = d["noisy"] * 0.9
+        kgp = jax.random.PRNGKey(21)
+
+        def gp_with(apply_fn):
+            def f(p):
+                return compute_gradient_penalty(
+                    apply_fn, p, d["clean"], fake, d["noisy"], kgp)
+            return jax.value_and_grad(f)(params)
+
+        v_ref, g_ref = gp_with(make_critic_flat_apply())
+        v_x3, g_x3 = gp_with(make_critic_flat_apply(mm="tf32x3"))
+        np.testing.assert_allclose(v_x3, v_ref, rtol=5e-2)
+        ref_leaves = jax.tree_util.tree_leaves(g_ref)
+        x3_leaves = jax.tree_util.tree_leaves(g_x3)
+        scale = max(float(jnp.abs(l).max()) for l in ref_leaves)
+        for a, b in zip(ref_leaves, x3_leaves):
+            assert float(jnp.abs(a - b).max()) < 5e-2 * scale
+
+
 class TestTrainingParity:
-    def _steps(self, gen_apply, critic_apply, n=5, act_dtype=None):
+    def _steps(self, gen_apply, critic_apply, n=5, act_dtype=None,
+               batch_fn=None, critic_unroll=1):
         gen = MiniGenerator()
         critic = MiniDiscriminator()
         z = jnp.zeros((1, 16, 2))
@@ -74,7 +196,8 @@ class TestTrainingParity:
         dg = DatagenConfig.make(frame_length=16, snr_range=(0, 30))
         step = make_train_step(gen_apply, critic_apply, tx_g, tx_d, dg,
                                LossConfig(), 128, donate=False,
-                               act_dtype=act_dtype)
+                               act_dtype=act_dtype, batch_fn=batch_fn,
+                               critic_unroll=critic_unroll)
         out = []
         for i in range(n):
             state, m = step(state, jax.random.fold_in(KEY, i))
@@ -96,6 +219,23 @@ class TestTrainingParity:
             lambda a, b: float(jnp.abs(a - b).max()),
             s_ref.params_g, s_flat.params_g)
         assert max(jax.tree_util.tree_leaves(diffs)) < 1e-3
+
+    def test_full_step_benched_config(self):
+        """The exact bench.py --flat --mm tf32x3 --act_dtype bfloat16
+        --critic_unroll 5 step tracks the f32 reference trajectory: flat
+        matmul-form datagen, explicit bf16x3 dots, unrolled critic scan."""
+        gen, critic = MiniGenerator(), MiniDiscriminator()
+        _, m_ref = self._steps(gen.apply, critic.apply, n=3)
+        dg = DatagenConfig.make(frame_length=16, snr_range=(0, 30))
+        _, m_fast = self._steps(
+            make_generator_flat_apply(act_dtype="bfloat16", mm="tf32x3"),
+            make_critic_flat_apply(act_dtype="bfloat16", mm="tf32x3"),
+            n=3, act_dtype="bfloat16",
+            batch_fn=lambda k, n: synthetic_batch_flat(k, n, dg),
+            critic_unroll=5)
+        for k in ("d_loss", "g_loss", "rec_loss", "gradient_penalty"):
+            a, b = float(m_ref[-1][k]), float(m_fast[-1][k])
+            assert abs(a - b) <= 0.05 * max(1.0, abs(a)), (k, a, b)
 
     def test_full_step_bf16_storage(self):
         gen = MiniGenerator(act_dtype="bfloat16")

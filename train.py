@@ -123,6 +123,22 @@ def main():
                              "state stay float32; halves HBM traffic of the "
                              "memory-bound step — see results/RESULTS.md "
                              "§bf16 storage)")
+    parser.add_argument("--flat", action="store_true",
+                        help="mini model only: train with the flat-layout "
+                             "[B, F] applies (folded upsample/concat/pool, "
+                             "matmul-form datagen — the bench.py --flat fast "
+                             "path; same param tree, parity-tested in "
+                             "tests/test_flat_model.py). Checkpoints/eval/"
+                             "export are unchanged")
+    parser.add_argument("--mm", default="ambient",
+                        choices=["ambient", "tf32x3"],
+                        help="flat-apply matmul implementation (requires "
+                             "--flat): 'tf32x3' pins every model dot to the "
+                             "explicit bf16x3 MXU decomposition "
+                             "(models/flat.tf32_matmul)")
+    parser.add_argument("--critic_unroll", type=int, default=1,
+                        help="unroll factor for the n_critic inner scan "
+                             "(pure codegen, identical numerics)")
     parser.add_argument("--quant_bits", type=int, nargs=2, default=None,
                         metavar=("WEIGHT_BITS", "ACT_BITS"),
                         help="full model only: quantization-aware training "
@@ -262,6 +278,9 @@ def main():
         matmul_precision=args.matmul_precision,
         ema_decay=args.ema,
         act_dtype=args.act_dtype,
+        flat_step=args.flat,
+        mm=args.mm,
+        critic_unroll=args.critic_unroll,
     )
     from ofdmgan_tpu.models import count_parameters
 
