@@ -79,6 +79,8 @@ def main():
     ap.add_argument("--scan_steps", type=int, default=32)
     ap.add_argument("--act_dtype", default=None, choices=[None, "bfloat16"])
     ap.add_argument("--flat", action="store_true")
+    ap.add_argument("--mm", default="ambient", choices=["ambient", "tf32x3"])
+    ap.add_argument("--critic_unroll", type=int, default=1)
     ap.add_argument("--matmul_precision", default="tensorfloat32")
     ap.add_argument("--trace_dir", default="/tmp/step_trace")
     ap.add_argument("--out", default="results/profile_step.json")
@@ -105,19 +107,17 @@ def main():
     if args.flat:
         from ofdmgan_tpu.models.flat import (make_critic_flat_apply,
                                              make_generator_flat_apply)
-        from ofdmgan_tpu.signal import synthetic_batch
-        gen_apply = make_generator_flat_apply(act_dtype=args.act_dtype)
-        critic_apply = make_critic_flat_apply(act_dtype=args.act_dtype)
-
-        def batch_fn(k, n):
-            b = synthetic_batch(k, n, dg)
-            return {**b, "noisy": b["noisy"].reshape(n, -1),
-                    "clean": b["clean"].reshape(n, -1)}
+        from ofdmgan_tpu.signal.datagen import synthetic_batch_flat
+        gen_apply = make_generator_flat_apply(act_dtype=args.act_dtype,
+                                              mm=args.mm)
+        critic_apply = make_critic_flat_apply(act_dtype=args.act_dtype,
+                                              mm=args.mm)
+        batch_fn = lambda k, n: synthetic_batch_flat(k, n, dg)
     step = make_train_step(
         gen_apply, critic_apply, tx_g, tx_d, dg, LossConfig(),
         batch_size=args.batch, scan_steps=args.scan_steps,
         matmul_precision=args.matmul_precision, act_dtype=args.act_dtype,
-        batch_fn=batch_fn)
+        batch_fn=batch_fn, critic_unroll=args.critic_unroll)
 
     def run(state, seed):
         state, metrics = step(state, jax.random.fold_in(key, seed))
@@ -168,7 +168,9 @@ def main():
         json.dump({
             "config": {"batch": args.batch, "scan_steps": args.scan_steps,
                        "act_dtype": args.act_dtype,
-                       "matmul_precision": args.matmul_precision},
+                       "matmul_precision": args.matmul_precision,
+                       "flat": args.flat, "mm": args.mm,
+                       "critic_unroll": args.critic_unroll},
             "window_wall_s": wall,
             "frames": frames,
             "ns_per_frame_wall": wall / frames * 1e9,
