@@ -1,11 +1,18 @@
 #!/usr/bin/env python3
 """Headline benchmark: synthetic I/Q frames/sec/chip through the FULL fused
 CWGAN-GP training step (on-device datagen + 5 critic updates with gradient
-penalty + generator update), reference recipe hyperparameters,
-tensorfloat32 (bf16x3) matmul precision — validated training-stable over
-the full 500-epoch recipe (reaches the float32 champion's quality;
-results/RESULTS.md §tf32); plain bfloat16 collapses the adversarial
-equilibrium and is not benchmarked.
+penalty + generator update), reference recipe hyperparameters.
+
+Default configuration (the round-3 headline): flat-layout applies
+(models/flat.py — activations stay [B, F] end-to-end, datagen born flat in
+matmul form), bfloat16 activation storage, single-pass bf16 MXU dots with
+the gradient-penalty chain at tensorfloat32 (`bf16_tf32gp`), critic scan
+unrolled. Every piece of this configuration is validated
+training-stable over the FULL 500-epoch reference recipe, reaching the
+float32 champion's quality on a paired 51,200-frame eval
+(results/RESULTS.md §Round 3, results/stability_evals_r3.json). Plain
+bfloat16 everywhere (GP included) with float32 storage collapses the
+adversarial equilibrium and is not benchmarked.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "frames/s/chip", "vs_baseline": N}
@@ -50,13 +57,17 @@ def main():
                          "(tests/test_packed_step.py)")
     ap.add_argument("--batch", type=int, default=65_536)
     ap.add_argument("--scan_steps", type=int, default=128)
-    ap.add_argument("--flat", action="store_true",
+    ap.add_argument("--flat", action=argparse.BooleanOptionalAction,
+                    default=True,
                     help="flat-layout applies (models/flat.py): activations "
                          "stay [B, F] end-to-end, upsample/concat/pool folded "
                          "into the dense layer matrices — removes the "
                          "[B, L, C] relayout/materialization passes that "
                          "dominate the device profile "
-                         "(results/profile_step_bf16mixed.json)")
+                         "(results/profile_step_bf16mixed.json). ON by "
+                         "default; --no-flat benches the [B, L, 2] module "
+                         "path (exact same parameter tree and numerics up to "
+                         "dot order, tests/test_flat_model.py)")
     ap.add_argument("--mm", default="ambient", choices=["ambient", "tf32x3"],
                     help="flat-apply matmul implementation (requires --flat): "
                          "'tf32x3' pins every model dot to the explicit bf16x3 "
@@ -64,24 +75,34 @@ def main():
                          "bf16 activation storage the activation low-half is "
                          "exactly zero, so each dot is 2 MXU passes instead of "
                          "the ambient tensorfloat32 context's 3")
-    ap.add_argument("--critic_unroll", type=int, default=1,
+    ap.add_argument("--critic_unroll", type=int, default=5,
                     help="unroll factor for the n_critic inner scan "
                          "(pure codegen, identical numerics)")
-    ap.add_argument("--act_dtype", default=None, choices=[None, "bfloat16"],
-                    help="activation STORAGE dtype: bf16 halves the HBM "
-                         "traffic of the (memory-bound) step while matmuls "
-                         "keep f32 weights + f32 accumulation")
-    ap.add_argument("--matmul_precision", default="tensorfloat32",
+    ap.add_argument("--act_dtype", default="bfloat16",
+                    choices=["none", "bfloat16"],
+                    help="activation STORAGE dtype: bf16 (default) halves "
+                         "the HBM traffic of the (memory-bound) step while "
+                         "matmuls keep f32 weights + f32 accumulation; "
+                         "'none' stores float32")
+    ap.add_argument("--matmul_precision", default="bf16_tf32gp",
                     choices=["float32", "tensorfloat32", "bfloat16",
                              "bf16_tf32gp", "bf16_f32gp"],
-                    help="MXU precision. tensorfloat32 (bf16x3) is the "
-                         "benchmarked default: the full 500-epoch reference "
-                         "recipe trains to val L1 0.122 under it — equal to "
-                         "the float32 champion — with the Wasserstein "
-                         "estimate bounded throughout (results/RESULTS.md "
-                         "§tf32). bfloat16 (1-pass) remains excluded: it "
-                         "collapses the adversarial equilibrium.")
+                    help="MXU precision. The default bf16_tf32gp (single-"
+                         "pass bf16 model dots, gradient-penalty chain at "
+                         "tensorfloat32) is validated training-stable over "
+                         "the full 500-epoch recipe WITH bf16 activation "
+                         "storage, reaching champion quality "
+                         "(results/RESULTS.md §Round 3) — as is "
+                         "tensorfloat32 (bf16x3). Plain bfloat16 (GP "
+                         "included) collapses the adversarial equilibrium "
+                         "and is benchable for the ablation only.")
     args = ap.parse_args()
+    if args.act_dtype == "none":
+        args.act_dtype = None
+    if args.pallas_datagen or args.pallas_critic:
+        # the Pallas study paths are [B, L, 2]-layout kernels; bench them in
+        # the layout they were written for
+        args.flat = False
 
     import jax
 
