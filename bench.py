@@ -68,13 +68,17 @@ def main():
                          "default; --no-flat benches the [B, L, 2] module "
                          "path (exact same parameter tree and numerics up to "
                          "dot order, tests/test_flat_model.py)")
-    ap.add_argument("--mm", default="ambient", choices=["ambient", "tf32x3"],
+    ap.add_argument("--mm", default="ambient",
+                    choices=["ambient", "tf32x3", "tf32x3_gp"],
                     help="flat-apply matmul implementation (requires --flat): "
                          "'tf32x3' pins every model dot to the explicit bf16x3 "
                          "MXU decomposition (models/flat.tf32_matmul) — with "
                          "bf16 activation storage the activation low-half is "
                          "exactly zero, so each dot is 2 MXU passes instead of "
-                         "the ambient tensorfloat32 context's 3")
+                         "the ambient tensorfloat32 context's 3. 'tf32x3_gp' "
+                         "pins ONLY the gradient-penalty chain's dots to the "
+                         "explicit decomposition (W-chain dots follow "
+                         "--matmul_precision's ambient context)")
     ap.add_argument("--critic_unroll", type=int, default=5,
                     help="unroll factor for the n_critic inner scan "
                          "(pure codegen, identical numerics)")
@@ -136,15 +140,20 @@ def main():
         )
     else:
         gen_apply, critic_apply, batch_fn = gen.apply, critic.apply, None
+        critic_apply_gp = None
         if args.flat:
             from ofdmgan_tpu.models.flat import (make_critic_flat_apply,
                                                  make_generator_flat_apply)
             from ofdmgan_tpu.signal.datagen import synthetic_batch_flat
 
+            mm_model = "ambient" if args.mm == "tf32x3_gp" else args.mm
             gen_apply = make_generator_flat_apply(act_dtype=args.act_dtype,
-                                                  mm=args.mm)
+                                                  mm=mm_model)
             critic_apply = make_critic_flat_apply(act_dtype=args.act_dtype,
-                                                  mm=args.mm)
+                                                  mm=mm_model)
+            if args.mm == "tf32x3_gp":
+                critic_apply_gp = make_critic_flat_apply(
+                    act_dtype=args.act_dtype, mm="tf32x3")
 
             def batch_fn(k, n):
                 # matmul-form datagen born flat [B, 32]: no FFT lowering, no
@@ -163,6 +172,7 @@ def main():
                 matmul_precision=args.matmul_precision,
                 act_dtype=args.act_dtype, batch_fn=batch_fn,
                 critic_unroll=args.critic_unroll,
+                critic_apply_gp=critic_apply_gp,
             ),
             donate_argnums=0,
         )

@@ -129,7 +129,12 @@ def _flat_dft_mats(l: int):
             mi[kk, 2 * tt + 1] = s * c[tt, kk].real
         er[tt, 2 * tt] = 1.0
         ei[tt, 2 * tt + 1] = 1.0
-    return jnp.asarray(mr), jnp.asarray(mi), jnp.asarray(er), jnp.asarray(ei)
+    # return NUMPY arrays: converting to jnp here would cache trace-local
+    # constants when the first call happens inside a jit trace, leaking
+    # tracers into every later trace that hits the cache (observed as
+    # UnexpectedTracerError when two different flat steps are built in one
+    # process); np operands convert per-trace for free at the @ use sites
+    return mr, mi, er, ei
 
 
 def synthetic_batch_flat(key: jax.Array, batch_size: int, cfg: DatagenConfig):

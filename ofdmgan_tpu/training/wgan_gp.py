@@ -71,6 +71,7 @@ def critic_loss_fn(
     key: jax.Array,
     cfg: LossConfig,
     gp_precision: str | None = None,
+    critic_apply_gp: Callable | None = None,
 ):
     """L_D = E[D(fake)] - E[D(real)] + λ·GP (train.py:219-253).
 
@@ -78,7 +79,14 @@ def critic_loss_fn(
     gradient-penalty chain (forward + nested ∇ₓD + its parameter gradients —
     the context is active while this subgraph is traced, and transposed dots
     inherit the primal dot's precision), letting the rest of the critic step
-    run at a cheaper precision (the "mixed" modes; see build_train_step)."""
+    run at a cheaper precision (the "mixed" modes; see build_train_step).
+
+    ``critic_apply_gp`` swaps the critic function for JUST the GP chain —
+    used by the flat path to pin the GP dots to the explicit bf16x3
+    decomposition (models/flat.tf32_matmul, whose custom_jvp keeps all
+    derivative orders on the same 2-MXU-pass kernel) while the W-chain dots
+    stay single-pass; same parameter tree, same function up to dot
+    implementation. Takes precedence over ``gp_precision``."""
     noisy, clean = batch["noisy"], batch["clean"]
     # store the (non-differentiated) fake in the batch's storage dtype so a
     # bf16-storage step keeps every critic input half-width (no-op for f32)
@@ -86,7 +94,9 @@ def critic_loss_fn(
     d_real = critic_apply(params_d, clean, noisy)
     d_fake = critic_apply(params_d, fake, noisy)
     wasserstein = jnp.mean(d_fake) - jnp.mean(d_real)
-    if gp_precision is None:
+    if critic_apply_gp is not None:
+        gp = compute_gradient_penalty(critic_apply_gp, params_d, clean, fake, noisy, key)
+    elif gp_precision is None:
         gp = compute_gradient_penalty(critic_apply, params_d, clean, fake, noisy, key)
     else:
         with jax.default_matmul_precision(gp_precision):
@@ -138,6 +148,7 @@ def build_train_step(
     pallas_interpret: bool = False,
     act_dtype: str | None = None,
     critic_unroll: int = 1,
+    critic_apply_gp: Callable | None = None,
 ) -> Callable[[TrainState, jax.Array], Tuple[TrainState, dict]]:
     """Build the (unjitted) fused outer step ``(state, key) -> (state, metrics)``.
 
@@ -255,7 +266,7 @@ def build_train_step(
             else:
                 (loss, aux), grads = jax.value_and_grad(critic_loss_fn, has_aux=True)(
                     params_d, state.params_g, gen_apply, critic_apply, batch, k_gp,
-                    loss_cfg, gp_precision
+                    loss_cfg, gp_precision, critic_apply_gp
                 )
             grads, aux = reduce_tree((grads, aux))
             updates, opt_d = tx_d.update(grads, opt_d, params_d)
@@ -318,6 +329,7 @@ def make_train_step(
     pallas_interpret: bool = False,
     act_dtype: str | None = None,
     critic_unroll: int = 1,
+    critic_apply_gp: Callable | None = None,
 ) -> Callable[[TrainState, jax.Array], Tuple[TrainState, dict]]:
     """Single-device jitted fused train step (see ``build_train_step``)."""
     step_fn = build_train_step(
@@ -326,6 +338,7 @@ def make_train_step(
         use_pallas_datagen=use_pallas_datagen, batch_fn=batch_fn,
         use_pallas_critic=use_pallas_critic, pallas_interpret=pallas_interpret,
         act_dtype=act_dtype, critic_unroll=critic_unroll,
+        critic_apply_gp=critic_apply_gp,
     )
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 

@@ -185,7 +185,7 @@ class TestTf32x3Apply:
 
 class TestTrainingParity:
     def _steps(self, gen_apply, critic_apply, n=5, act_dtype=None,
-               batch_fn=None, critic_unroll=1):
+               batch_fn=None, critic_unroll=1, **step_kwargs):
         gen = MiniGenerator()
         critic = MiniDiscriminator()
         z = jnp.zeros((1, 16, 2))
@@ -197,7 +197,7 @@ class TestTrainingParity:
         step = make_train_step(gen_apply, critic_apply, tx_g, tx_d, dg,
                                LossConfig(), 128, donate=False,
                                act_dtype=act_dtype, batch_fn=batch_fn,
-                               critic_unroll=critic_unroll)
+                               critic_unroll=critic_unroll, **step_kwargs)
         out = []
         for i in range(n):
             state, m = step(state, jax.random.fold_in(KEY, i))
@@ -236,6 +236,40 @@ class TestTrainingParity:
         for k in ("d_loss", "g_loss", "rec_loss", "gradient_penalty"):
             a, b = float(m_ref[-1][k]), float(m_fast[-1][k])
             assert abs(a - b) <= 0.05 * max(1.0, abs(a)), (k, a, b)
+
+    def test_full_step_gp_closure(self):
+        """critic_apply_gp (explicit tf32x3 dots for JUST the GP chain,
+        bench.py --mm tf32x3_gp) computes the same stochastic function as
+        the gp_precision-context path — same epsilon stream, dots within
+        tf32 rounding of each other."""
+        dg = DatagenConfig.make(frame_length=16, snr_range=(0, 30))
+        common = dict(
+            act_dtype="bfloat16", matmul_precision="bf16_tf32gp",
+            batch_fn=lambda k, n: synthetic_batch_flat(k, n, dg),
+            critic_unroll=5)
+        ga = make_generator_flat_apply(act_dtype="bfloat16")
+        ca = make_critic_flat_apply(act_dtype="bfloat16")
+        _, m_ctx = self._steps(ga, ca, n=3, **common)
+        _, m_clo = self._steps(
+            ga, ca, n=3,
+            critic_apply_gp=make_critic_flat_apply(
+                act_dtype="bfloat16", mm="tf32x3"),
+            **common)
+        for k in ("d_loss", "g_loss", "gradient_penalty", "rec_loss"):
+            a, b = float(m_ctx[-1][k]), float(m_clo[-1][k])
+            assert abs(a - b) <= 0.02 * max(1.0, abs(a)), (k, a, b)
+
+    def test_flat_dft_mats_cache_is_trace_safe(self):
+        """Regression: _flat_dft_mats must not cache trace-local constants.
+        First call INSIDE a jit trace, then use from a second trace — the
+        lru-cached jnp version leaked tracers (UnexpectedTracerError)."""
+        from ofdmgan_tpu.signal.datagen import _flat_dft_mats
+        _flat_dft_mats.cache_clear()
+        dg = DatagenConfig.make(frame_length=16, snr_range=(0, 30))
+        first = jax.jit(lambda k: synthetic_batch_flat(k, 8, dg)["noisy"])(KEY)
+        second = jax.jit(lambda k: synthetic_batch_flat(k, 8, dg)["clean"])(KEY)
+        assert np.isfinite(np.asarray(first)).all()
+        assert np.isfinite(np.asarray(second)).all()
 
     def test_full_step_bf16_storage(self):
         gen = MiniGenerator(act_dtype="bfloat16")
