@@ -135,6 +135,7 @@ def main():
             build_packed_train_step(
                 tx_g, tx_d, dg, loss_cfg, batch, p=args.packed,
                 scan_steps=scan_steps, matmul_precision=args.matmul_precision,
+                act_dtype=args.act_dtype, critic_unroll=args.critic_unroll,
             ),
             donate_argnums=0,
         )

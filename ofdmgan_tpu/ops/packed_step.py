@@ -65,7 +65,10 @@ def pmatmul(xp: jnp.ndarray, a: jnp.ndarray, p: int, fin: int) -> jnp.ndarray:
     (the gradient penalty's second order) works.
     """
     a_bd = jnp.kron(jnp.eye(p, dtype=a.dtype), a)
-    return jnp.matmul(xp, a_bd, preferred_element_type=xp.dtype)
+    # accumulate in the promoted dtype (bf16 storage x f32 weights -> f32
+    # products/accumulator, same rule as models/flat._mm)
+    acc = jnp.promote_types(xp.dtype, a.dtype)
+    return jnp.matmul(xp, a_bd, preferred_element_type=acc)
 
 
 @pmatmul.defjvp
@@ -76,8 +79,9 @@ def _pmatmul_jvp(p, fin, primals, tangents):
     r = xp.shape[0]
     # block-sum form of x·da, kept on 3-D minor-split views (contiguous)
     x3 = xp.reshape(r, p, fin)
+    acc = jnp.promote_types(xp.dtype, a.dtype)
     dy_a = jnp.einsum("rpf,fg->rpg", x3, da,
-                      preferred_element_type=xp.dtype).reshape(r, -1)
+                      preferred_element_type=acc).reshape(r, -1)
     return y, pmatmul(dxp, a, p, fin) + dy_a
 
 
@@ -99,38 +103,44 @@ def _upsample2(xp, p, l, c):
 def packed_gen_forward(params, xp: jnp.ndarray, p: int,
                        frame_length: int = 16,
                        leaky_slope: float = 0.2,
-                       input_residual: bool = False) -> jnp.ndarray:
+                       input_residual: bool = False,
+                       act_dtype: str | None = None) -> jnp.ndarray:
     """MiniGenerator forward on packed rows ``[R, p·L·2]`` — numerically the
-    conv1d_via_matmul lowering of models/generator.py with identical params."""
+    conv1d_via_matmul lowering of models/generator.py with identical params.
+    ``act_dtype`` stores each activation half-width (matmuls still read f32
+    weights and accumulate f32), mirroring the module/flat act_dtype mode."""
     t = params.get("params", params)
     L = frame_length
+    cast = (lambda a: a.astype(act_dtype)) if act_dtype else (lambda a: a)
     lrelu = functools.partial(jax.nn.leaky_relu, negative_slope=leaky_slope)
-    enc1 = lrelu(_packed_conv(xp, t["enc1"]["conv_kernel"],
-                              t["enc1"]["conv_bias"], L, 2, 1, p))
-    bneck = lrelu(_packed_conv(enc1, t["bottleneck"]["conv_kernel"],
-                               t["bottleneck"]["conv_bias"], L // 2, 2, 1, p))
+    enc1 = cast(lrelu(_packed_conv(xp, t["enc1"]["conv_kernel"],
+                                   t["enc1"]["conv_bias"], L, 2, 1, p)))
+    bneck = cast(lrelu(_packed_conv(enc1, t["bottleneck"]["conv_kernel"],
+                                    t["bottleneck"]["conv_bias"], L // 2, 2, 1, p)))
     up1 = _upsample2(bneck, p, L // 4, t["bottleneck"]["conv_kernel"].shape[2])
-    dec1 = lrelu(_packed_conv(up1, t["dec1"]["conv_kernel"],
-                              t["dec1"]["conv_bias"], L // 2, 1, 1, p))
+    dec1 = cast(lrelu(_packed_conv(up1, t["dec1"]["conv_kernel"],
+                                   t["dec1"]["conv_bias"], L // 2, 1, 1, p)))
     skip = dec1 + enc1
     up2 = _upsample2(skip, p, L // 2, t["dec1"]["conv_kernel"].shape[2])
     out = _packed_conv(up2, t["out_conv_kernel"], t["out_conv_bias"], L, 1, 1, p)
     if input_residual:
-        return xp + out
+        return xp.astype(out.dtype) + out
     return jnp.tanh(out)
 
 
 def packed_critic_forward(params, cand: jnp.ndarray, cond: jnp.ndarray,
                           p: int, frame_length: int = 16,
-                          leaky_slope: float = 0.2) -> jnp.ndarray:
+                          leaky_slope: float = 0.2,
+                          act_dtype: str | None = None) -> jnp.ndarray:
     """MiniDiscriminator forward on packed rows -> scores ``[R, p]``."""
     t = params.get("params", params)
     L = frame_length
     r = cand.shape[0]
+    cast = (lambda a: a.astype(act_dtype)) if act_dtype else (lambda a: a)
     lrelu = functools.partial(jax.nn.leaky_relu, negative_slope=leaky_slope)
     x = jnp.concatenate([cand.reshape(r, p, L, 2), cond.reshape(r, p, L, 2)],
                         axis=-1).reshape(r, -1)
-    h = lrelu(_packed_conv(x, t["conv1_kernel"], t["conv1_bias"], L, 2, 1, p))
+    h = cast(lrelu(_packed_conv(x, t["conv1_kernel"], t["conv1_bias"], L, 2, 1, p)))
     h = lrelu(_packed_conv(h, t["conv2_kernel"], t["conv2_bias"], L // 2, 2, 1, p))
     c2 = t["conv2_kernel"].shape[2]
     pooled = jnp.sum(h.reshape(r, p, L // 4, c2), axis=-2).reshape(r, -1)
@@ -177,17 +187,21 @@ def packed_synthetic_batch(key: jax.Array, batch_size: int, p: int,
 
 
 # --------------------------------------------------------------------- step
-def packed_gradient_penalty(params_d, real, fake, cond, key, p, frame_length):
+def packed_gradient_penalty(params_d, real, fake, cond, key, p, frame_length,
+                            act_dtype=None):
     """compute_gradient_penalty on packed rows — same per-frame epsilon
-    stream (uniform fills row-major), same norm semantics."""
+    stream (uniform fills row-major), same norm semantics. Alpha is drawn
+    f32 and the interpolant cast to the inputs' STORAGE dtype, mirroring
+    models/critic.compute_gradient_penalty's bf16-storage semantics."""
     r = real.shape[0]
-    alpha = jax.random.uniform(key, (r, p, 1), real.dtype)
+    alpha = jax.random.uniform(key, (r, p, 1), jnp.float32)
     x3 = real.reshape(r, p, -1)
     f3 = fake.reshape(r, p, -1)
-    interp = (alpha * x3 + (1.0 - alpha) * f3).reshape(r, -1)
+    interp = (alpha * x3 + (1.0 - alpha) * f3).astype(real.dtype).reshape(r, -1)
 
     def score_sum(x):
-        return jnp.sum(packed_critic_forward(params_d, x, cond, p, frame_length))
+        return jnp.sum(packed_critic_forward(params_d, x, cond, p, frame_length,
+                                             act_dtype=act_dtype))
 
     grads = jax.grad(score_sum)(interp)
     norms = jnp.sqrt(jnp.sum(grads.reshape(r, p, -1) ** 2, axis=-1) + 1e-12)
@@ -205,26 +219,46 @@ def build_packed_train_step(
     matmul_precision: str = "tensorfloat32",
     leaky_slope: float = 0.2,
     input_residual: bool = False,
+    act_dtype: str | None = None,
+    critic_unroll: int = 1,
 ) -> Callable[[TrainState, jax.Array], Tuple[TrainState, dict]]:
     """Packed equivalent of training/wgan_gp.build_train_step (reference
     recipe semantics: n_critic updates on one batch, nested-grad GP,
-    Adam(0, 0.9)); same TrainState / param trees / PRNG stream."""
+    Adam(0, 0.9)); same TrainState / param trees / PRNG stream.
+
+    ``act_dtype``/``critic_unroll``/mixed ``matmul_precision`` mirror
+    build_train_step so every headline configuration is also benchable in
+    the packed layout (bench.py --packed)."""
     assert batch_size % p == 0, (batch_size, p)
     L = dg_cfg.frame_length
 
+    gp_precision = None
+    if matmul_precision in ("bf16_tf32gp", "bf16_f32gp"):
+        gp_precision = ("tensorfloat32" if matmul_precision == "bf16_tf32gp"
+                        else "float32")
+        matmul_precision = "bfloat16"
+
     gen_fwd = functools.partial(packed_gen_forward, p=p, frame_length=L,
                                 leaky_slope=leaky_slope,
-                                input_residual=input_residual)
+                                input_residual=input_residual,
+                                act_dtype=act_dtype)
     critic_fwd = functools.partial(packed_critic_forward, p=p, frame_length=L,
-                                   leaky_slope=leaky_slope)
+                                   leaky_slope=leaky_slope,
+                                   act_dtype=act_dtype)
 
     def critic_loss(params_d, params_g, batch, k_gp):
         noisy, clean = batch["noisy"], batch["clean"]
-        fake = jax.lax.stop_gradient(gen_fwd(params_g, noisy))
+        fake = jax.lax.stop_gradient(gen_fwd(params_g, noisy)).astype(noisy.dtype)
         d_real = critic_fwd(params_d, clean, noisy)
         d_fake = critic_fwd(params_d, fake, noisy)
         wasserstein = jnp.mean(d_fake) - jnp.mean(d_real)
-        gp = packed_gradient_penalty(params_d, clean, fake, noisy, k_gp, p, L)
+        if gp_precision is None:
+            gp = packed_gradient_penalty(params_d, clean, fake, noisy, k_gp,
+                                         p, L, act_dtype)
+        else:
+            with jax.default_matmul_precision(gp_precision):
+                gp = packed_gradient_penalty(params_d, clean, fake, noisy,
+                                             k_gp, p, L, act_dtype)
         loss = wasserstein + loss_cfg.gp_weight * gp
         return loss, {
             "d_loss": loss,
@@ -245,6 +279,10 @@ def build_packed_train_step(
     def one_step(state: TrainState, key: jax.Array):
         k_data, k_crit, _ = jax.random.split(key, 3)
         batch0 = packed_synthetic_batch(k_data, batch_size, p, dg_cfg)
+        if act_dtype is not None:
+            batch0 = dict(batch0)
+            for kk in ("noisy", "clean"):
+                batch0[kk] = batch0[kk].astype(act_dtype)
 
         def critic_body(carry, k):
             params_d, opt_d = carry
@@ -258,6 +296,7 @@ def build_packed_train_step(
             critic_body,
             (state.params_d, state.opt_d),
             jax.random.split(k_crit, loss_cfg.n_critic),
+            unroll=critic_unroll,
         )
         d_aux = jax.tree_util.tree_map(lambda x: x[-1], d_auxes)
 

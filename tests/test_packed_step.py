@@ -130,6 +130,33 @@ class TestStepParity:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-3, atol=2e-5)
 
+    def test_bf16_storage_mixed_precision(self):
+        """act_dtype=bfloat16 + bf16_tf32gp packed step tracks the unpacked
+        bf16-storage step's trajectory (same PRNG stream; bf16 rounding and
+        reassociation differ, so loose tolerance)."""
+        gen, critic, pg, pd = _params()
+        gen16 = MiniGenerator(act_dtype="bfloat16")
+        critic16 = MiniDiscriminator(act_dtype="bfloat16")
+        cfg = DatagenConfig.make(frame_length=L, snr_range=(0, 30))
+        loss_cfg = LossConfig(n_critic=5)
+        tx_g, tx_d = make_adam(1e-4), make_adam(1e-4)
+        ref_step = jax.jit(build_train_step(
+            gen16.apply, critic16.apply, tx_g, tx_d, cfg, loss_cfg, B,
+            matmul_precision="bf16_tf32gp", act_dtype="bfloat16"))
+        packed_step = jax.jit(build_packed_train_step(
+            tx_g, tx_d, cfg, loss_cfg, B, p=P,
+            matmul_precision="bf16_tf32gp", act_dtype="bfloat16",
+            critic_unroll=5))
+        s_ref = TrainState.create(pg, pd, tx_g, tx_d)
+        s_pk = TrainState.create(pg, pd, tx_g, tx_d)
+        for i in range(3):
+            k = jax.random.fold_in(jax.random.PRNGKey(7), i)
+            s_ref, m_ref = ref_step(s_ref, k)
+            s_pk, m_pk = packed_step(s_pk, k)
+        for name in ("d_loss", "g_loss", "rec_loss", "gradient_penalty"):
+            a, b = float(m_ref[name]), float(m_pk[name])
+            assert abs(a - b) <= 0.05 * max(1.0, abs(a)), (name, a, b)
+
     def test_scan_steps_and_p2(self):
         gen, critic, pg, pd = _params()
         cfg = DatagenConfig.make(frame_length=L, snr_range=(0, 30))
