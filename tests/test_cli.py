@@ -55,6 +55,21 @@ class TestCLIs:
         assert r3.returncode == 0, r3.stderr[-2000:]
         assert (workdir / "exp2" / "discriminator" / "dense_weights.bin").exists()
 
+    def test_train_fading_channel_residual(self, workdir):
+        """--channel + --residual (the fading-trained model recipe,
+        results/fading/): datagen wires the channel config through the
+        fused step and the residual head trains without NaNs."""
+        r = run([str(REPO / "train.py"), "--config", str(REPO / "config/config.yaml"),
+                 "--synthetic", "--platform", "cpu", "--epochs", "2",
+                 "--batch_size", "16", "--samples_per_epoch", "64",
+                 "--channel", "multipath", "--nonlinear", "--residual",
+                 "--skip_export", "--checkpoint_dir",
+                 str(workdir / "ckpt_fading"), "--experiment", "cli_fading"],
+                cwd=workdir)
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "Epoch 1:" in r.stdout
+        assert (workdir / "ckpt_fading" / "final_model").exists()
+
     def test_benchmark_cli(self, workdir):
         r = run([str(REPO / "benchmark_comparison.py"), "--platform", "cpu",
                  "--checkpoint", str(workdir / "checkpoints" / "final_model"),
