@@ -79,6 +79,12 @@ def main():
                          "pins ONLY the gradient-penalty chain's dots to the "
                          "explicit decomposition (W-chain dots follow "
                          "--matmul_precision's ambient context)")
+    ap.add_argument("--remat", action="store_true",
+                    help="jax.checkpoint the model applies: backward passes "
+                         "recompute activations instead of loading them — "
+                         "numerically identical; trades free MXU FLOPs for "
+                         "HBM traffic on this bandwidth-saturated step "
+                         "(results/perf_hlo_flat.json)")
     ap.add_argument("--critic_unroll", type=int, default=5,
                     help="unroll factor for the n_critic inner scan "
                          "(pure codegen, identical numerics)")
@@ -173,7 +179,7 @@ def main():
                 matmul_precision=args.matmul_precision,
                 act_dtype=args.act_dtype, batch_fn=batch_fn,
                 critic_unroll=args.critic_unroll,
-                critic_apply_gp=critic_apply_gp,
+                critic_apply_gp=critic_apply_gp, remat=args.remat,
             ),
             donate_argnums=0,
         )

@@ -149,8 +149,17 @@ def build_train_step(
     act_dtype: str | None = None,
     critic_unroll: int = 1,
     critic_apply_gp: Callable | None = None,
+    remat: bool = False,
 ) -> Callable[[TrainState, jax.Array], Tuple[TrainState, dict]]:
     """Build the (unjitted) fused outer step ``(state, key) -> (state, metrics)``.
+
+    ``remat=True`` wraps the generator/critic applies in ``jax.checkpoint``:
+    backward passes recompute forward activations instead of loading them
+    from HBM. Same stochastic function (equal up to fusion reassociation,
+    ~4e-6; tests/test_flat_model.py), and the right trade for this step,
+    which measures at ~93% of HBM speed-of-light with the MXU ~13% busy
+    (results/perf_hlo_flat.json) — recompute FLOPs are free, saved
+    intermediate traffic is not.
 
     ``use_pallas_critic`` swaps each critic update's value_and_grad for the
     hand-fused Pallas kernel (ops/pallas_critic.py) — the SAME stochastic
@@ -185,6 +194,12 @@ def build_train_step(
         if use_pallas_critic:
             raise ValueError("mixed GP precision is not supported by the "
                              "Pallas critic kernel path")
+
+    if remat:
+        gen_apply = jax.checkpoint(gen_apply)
+        critic_apply = jax.checkpoint(critic_apply)
+        if critic_apply_gp is not None:
+            critic_apply_gp = jax.checkpoint(critic_apply_gp)
 
     def reduce_tree(t):
         if axis_name is None:
@@ -330,6 +345,7 @@ def make_train_step(
     act_dtype: str | None = None,
     critic_unroll: int = 1,
     critic_apply_gp: Callable | None = None,
+    remat: bool = False,
 ) -> Callable[[TrainState, jax.Array], Tuple[TrainState, dict]]:
     """Single-device jitted fused train step (see ``build_train_step``)."""
     step_fn = build_train_step(
@@ -338,7 +354,7 @@ def make_train_step(
         use_pallas_datagen=use_pallas_datagen, batch_fn=batch_fn,
         use_pallas_critic=use_pallas_critic, pallas_interpret=pallas_interpret,
         act_dtype=act_dtype, critic_unroll=critic_unroll,
-        critic_apply_gp=critic_apply_gp,
+        critic_apply_gp=critic_apply_gp, remat=remat,
     )
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
