@@ -72,6 +72,7 @@ class Trainer:
         flat_step: bool = False,
         mm: str = "ambient",
         critic_unroll: int = 1,
+        remat: bool = False,
     ):
         """``generator``/``discriminator`` inject alternative model families
         (e.g. the full 1024-sample U-Net, models/full_unet.py) in place of
@@ -207,6 +208,9 @@ class Trainer:
                 act_dtype=act_dtype,
                 critic_unroll=critic_unroll,
             )
+            if remat:
+                raise ValueError("remat is wired for the single-device "
+                                 "step; drop --remat with dp>1")
         else:
             self._step = make_train_step(
                 train_gen_apply, train_critic_apply,
@@ -216,6 +220,7 @@ class Trainer:
                 matmul_precision=matmul_precision,
                 act_dtype=act_dtype,
                 critic_unroll=critic_unroll,
+                remat=remat,
             )
         # validation always evaluates the canonical flax module on the
         # standard [B, L, 2] eval pipeline, so flat-step runs stay directly

@@ -136,6 +136,11 @@ def main():
                              "--flat): 'tf32x3' pins every model dot to the "
                              "explicit bf16x3 MXU decomposition "
                              "(models/flat.tf32_matmul)")
+    parser.add_argument("--remat", action="store_true",
+                        help="jax.checkpoint the model applies inside the "
+                             "fused step (recompute activations in backward "
+                             "instead of storing; same function, see "
+                             "training/wgan_gp.build_train_step)")
     parser.add_argument("--critic_unroll", type=int, default=1,
                         help="unroll factor for the n_critic inner scan "
                              "(pure codegen, identical numerics)")
@@ -281,6 +286,7 @@ def main():
         flat_step=args.flat,
         mm=args.mm,
         critic_unroll=args.critic_unroll,
+        remat=args.remat,
     )
     from ofdmgan_tpu.models import count_parameters
 
