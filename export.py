@@ -20,6 +20,14 @@ def main():
                         default="float32")
     args = parser.parse_args()
 
+    # Host-side tool (CLAUDE.md convention): force CPU BEFORE orbax touches
+    # jax.default_backend(), which would otherwise initialize the remote
+    # axon client — slow, and a hard hang if the tunnel relay is down (the
+    # register shim dials it even under JAX_PLATFORMS=cpu).
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
     import orbax.checkpoint as ocp
     from ofdmgan_tpu.quant.export import export_discriminator, export_generator
 
