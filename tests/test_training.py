@@ -142,6 +142,31 @@ class TestShardedTrainStep:
         leaf = jax.tree_util.tree_leaves(new_state.params_g)[0]
         assert leaf.sharding.is_fully_replicated
 
+    def test_dp8_flat_bf16_headline_config(self):
+        """The bench.py headline configuration (flat applies + bf16 storage
+        + bf16_tf32gp + flat datagen) composes with shard_map dp — what
+        train.py --flat --dp N wires up (training/trainer.py)."""
+        from ofdmgan_tpu.models.flat import (make_critic_flat_apply,
+                                             make_generator_flat_apply)
+        from ofdmgan_tpu.signal.datagen import synthetic_batch_flat
+
+        mesh = make_mesh({"dp": 8})
+        gen, critic, tx_g, tx_d, state, dg, loss = _setup()
+        step = make_sharded_train_step(
+            make_generator_flat_apply(act_dtype="bfloat16"),
+            make_critic_flat_apply(act_dtype="bfloat16"),
+            tx_g, tx_d, dg, loss, global_batch_size=64, mesh=mesh,
+            donate=False, matmul_precision="bf16_tf32gp",
+            act_dtype="bfloat16", critic_unroll=5,
+            batch_fn=lambda k, n: synthetic_batch_flat(k, n, dg))
+        state_r = replicate_state(state, mesh)
+        new_state, metrics = step(state_r, KEY)
+        assert int(new_state.step) == 1
+        for k in ("d_loss", "g_loss", "gradient_penalty"):
+            assert np.isfinite(float(metrics[k])), k
+        leaf = jax.tree_util.tree_leaves(new_state.params_g)[0]
+        assert leaf.sharding.is_fully_replicated
+
     def test_dp_grads_equal_global_batch_grads(self):
         # pmean-of-local-grads == grad-of-global-mean: run 1 critic update
         # with fresh_critic_batches=False on dp=4 vs a single device fed the
