@@ -45,11 +45,16 @@ def to_grayscale(image: np.ndarray) -> np.ndarray:
 
 
 def image_to_ofdm(
-    image: np.ndarray, cfg: ImageOFDMConfig = ImageOFDMConfig(), normalize: bool = True
+    image: np.ndarray, cfg: ImageOFDMConfig = ImageOFDMConfig(), normalize: bool = True,
+    truncate: bool = True,
 ) -> Tuple[np.ndarray, Dict]:
     """Image -> channels-last I/Q frame ``[L, 2]`` + metadata
     (ofdm_utils.py:885-949; note the reference returns [2, L] — convert with
-    utils.iq.nlc_to_ncl when reference layout is needed)."""
+    utils.iq.nlc_to_ncl when reference layout is needed).
+
+    ``truncate=False`` keeps the FULL modulated signal (still zero-padded up
+    to at least ``frame_length``) instead of the reference's truncate-to-
+    frame_length rule — used by the chunk dataset below."""
     image = to_grayscale(np.asarray(image))
     pixels = image.flatten().astype(np.uint8)
     bits = np.unpackbits(pixels)
@@ -60,7 +65,7 @@ def image_to_ofdm(
 
     if len(signal) < cfg.frame_length:
         signal = np.pad(signal, (0, cfg.frame_length - len(signal)))
-    else:
+    elif truncate:
         signal = signal[: cfg.frame_length]
 
     iq = np.asarray(complex_to_iq(jnp.asarray(signal)), np.float32)  # [L, 2]
@@ -176,3 +181,80 @@ class ImageOFDMDataset:
         noisy_iq = complex_to_iq(noisy_c).astype(jnp.float32)
         noisy_iq, clean_out = joint_max_normalize(noisy_iq, clean_iq)
         return {"noisy": noisy_iq, "clean": clean_out, "snr": snr}
+
+
+class ImageOFDMChunkDataset:
+    """Chunk-level training data matched to the image-transmission protocol.
+
+    ``viz.image_transmission.ImageOFDMSimulator`` transmits each image as one
+    long QAM16/64-subcarrier OFDM signal and enhances it in ``gen_frame``
+    (16-sample) chunks, normalizing each chunk by its own NOISY max
+    (image_transmission.py:_enhance). ``ImageOFDMDataset`` above (the
+    reference's training distribution) instead truncates every image to its
+    FIRST 16 samples and joint-normalizes — so a model trained on it is out
+    of distribution for the simulator. This dataset samples uniformly over
+    ALL aligned chunks of the full modulated signals, adds AWGN at the
+    per-image reference power (matching the simulator, which measures noise
+    power over the whole signal), and normalizes by the noisy chunk max —
+    the exact inference protocol.
+
+    AWGN only (the figure protocol); physical-scale signals precomputed on
+    the CPU backend once.
+    """
+
+    EXTENSIONS = ImageOFDMDataset.EXTENSIONS
+
+    def __init__(
+        self,
+        image_dir: str,
+        chunk: int = 16,
+        modulation: str = "QAM16",
+        n_subcarriers: int = 64,
+        cp_length: int = 16,
+        snr_range: Tuple[float, float] = (0, 30),
+        samples_per_image: int = 64,
+        pad_to: int = 1024,
+    ):
+        # pad_to mirrors the simulator's frame_length: its channel measures
+        # signal power over the padded transmission (zeros included), and
+        # the zero chunks are themselves enhancement inputs
+        cfg = ImageOFDMConfig(modulation, n_subcarriers, cp_length,
+                              frame_length=pad_to)
+        self.snr_range = snr_range
+        self.samples_per_image = samples_per_image
+        self.image_files = ImageOFDMDataset._find_images(self, Path(image_dir))
+        if not self.image_files:
+            raise FileNotFoundError(f"no images under {image_dir}")
+        chunks, powers = [], []
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            for p in self.image_files:
+                iq, _ = image_to_ofdm(load_image(str(p)), cfg,
+                                      normalize=False, truncate=False)
+                pad = (-iq.shape[0]) % chunk
+                iq = np.pad(np.asarray(iq), ((0, pad), (0, 0)))
+                c = iq.reshape(-1, chunk, 2)
+                chunks.append(c)
+                # the simulator's channel measures signal power over the
+                # WHOLE transmission — every chunk of an image shares it
+                powers.append(np.full(c.shape[0], np.mean(iq ** 2) * 2.0,
+                                      np.float32))
+        self._chunks = jnp.asarray(np.concatenate(chunks))     # [N, chunk, 2]
+        self._power = jnp.asarray(np.concatenate(powers))      # [N]
+
+    def __len__(self) -> int:
+        return len(self.image_files) * self.samples_per_image
+
+    def sample_batch(self, key: jax.Array, batch_size: int) -> Dict[str, jnp.ndarray]:
+        k_idx, k_snr, k_n = jax.random.split(key, 3)
+        i = jax.random.randint(k_idx, (batch_size,), 0, self._chunks.shape[0])
+        clean = self._chunks[i]                                # physical scale
+        snr = jax.random.uniform(k_snr, (batch_size,), jnp.float32,
+                                 *self.snr_range)
+        noise_power = self._power[i] / (10.0 ** (snr / 10.0))
+        std = jnp.sqrt(noise_power / 2.0)[:, None, None]
+        noisy = clean + std * jax.random.normal(k_n, clean.shape, jnp.float32)
+        # inference-protocol normalization: NOISY chunk max only (the clean
+        # signal is unknown at enhancement time)
+        m = jnp.max(jnp.abs(noisy), axis=(-2, -1), keepdims=True)
+        m = jnp.maximum(m, 1e-9)
+        return {"noisy": noisy / m, "clean": clean / m, "snr": snr}

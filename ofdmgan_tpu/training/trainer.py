@@ -73,6 +73,7 @@ class Trainer:
         mm: str = "ambient",
         critic_unroll: int = 1,
         remat: bool = False,
+        image_chunks: bool = False,
     ):
         """``generator``/``discriminator`` inject alternative model families
         (e.g. the full 1024-sample U-Net, models/full_unet.py) in place of
@@ -130,7 +131,22 @@ class Trainer:
         # image-backed data (the reference's OFDMDataset path): clean frames
         # derived from images, channel simulation on device (train.py:642-652)
         batch_fn = None
-        if image_dir:
+        if image_dir and image_chunks:
+            # chunk-level distribution matched to the image-transmission
+            # simulator's enhancement protocol (viz/image_transmission.py)
+            from ..signal.image_ofdm import ImageOFDMChunkDataset
+
+            self.image_dataset = ImageOFDMChunkDataset(
+                image_dir,
+                chunk=frame_length,
+                snr_range=(self.dg_cfg.snr_min, self.dg_cfg.snr_max),
+                samples_per_image=samples_per_image,
+            )
+            batch_fn = self.image_dataset.sample_batch
+            print(f"Image CHUNK dataset: {len(self.image_dataset.image_files)} "
+                  f"images, {int(self.image_dataset._chunks.shape[0])} chunks "
+                  f"from {image_dir}")
+        elif image_dir:
             from ..signal.image_ofdm import ImageOFDMDataset
 
             ofdm_cfg = self.config.get("ofdm", {})

@@ -73,6 +73,37 @@ class TestImageOFDM:
         assert iq.shape == (16, 2)
         assert float(np.abs(iq).max()) <= 1.0 + 1e-6
 
+    def test_chunk_dataset_matches_simulator_protocol(self, tmp_path):
+        """ImageOFDMChunkDataset: full (untruncated, padded) signals split
+        into aligned 16-chunks; AWGN at the per-image padded-signal power;
+        noisy-max normalization (the simulator's _enhance protocol)."""
+        import jax
+
+        from PIL import Image
+
+        rng = np.random.default_rng(3)
+        for i in range(2):
+            Image.fromarray(rng.integers(0, 256, (16, 16)).astype(np.uint8),
+                            "L").save(tmp_path / f"im{i}.png")
+        ds = image_ofdm.ImageOFDMChunkDataset(str(tmp_path), pad_to=1024)
+        # 16x16 image -> 2048 bits -> 512 QAM16 symbols -> 8 OFDM symbols
+        # x 80 samples = 640 -> padded to 1024 -> 64 chunks per image
+        assert ds._chunks.shape == (128, 16, 2)
+        b = ds.sample_batch(jax.random.PRNGKey(0), 64)
+        assert b["noisy"].shape == (64, 16, 2)
+        m = np.abs(np.asarray(b["noisy"])).reshape(64, -1).max(1)
+        np.testing.assert_allclose(m, 1.0, atol=1e-5)  # noisy-max normalized
+        assert np.isfinite(np.asarray(b["clean"])).all()
+
+    def test_image_to_ofdm_no_truncate(self):
+        img = self._image()
+        cfg = image_ofdm.ImageOFDMConfig("QAM16", 64, 16, frame_length=16)
+        iq_full, meta = image_ofdm.image_to_ofdm(img, cfg, normalize=False,
+                                                 truncate=False)
+        assert iq_full.shape[0] == meta["signal_length"] >= 640
+        iq_trunc, _ = image_ofdm.image_to_ofdm(img, cfg, normalize=False)
+        np.testing.assert_array_equal(iq_trunc, iq_full[:16])
+
     def test_rgb_to_gray(self):
         rgb = np.zeros((4, 4, 3), np.uint8)
         rgb[..., 0] = 255

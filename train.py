@@ -31,6 +31,13 @@ def main():
     parser.add_argument("--experiment", type=str, default=None)
     parser.add_argument("--synthetic", action="store_true",
                         help="Use synthetic on-device data (default when no image dir)")
+    parser.add_argument("--image_chunks", action="store_true",
+                        help="with --image_dir: train on ALL aligned "
+                             "16-sample chunks of the full QAM16/64-sc "
+                             "transmissions with noisy-max normalization — "
+                             "the image-transmission simulator's exact "
+                             "enhancement protocol (signal/image_ofdm."
+                             "ImageOFDMChunkDataset)")
     parser.add_argument("--image_dir", type=str, default=None,
                         help="Train on image-derived OFDM frames from this directory")
     parser.add_argument("--skip_export", action="store_true")
@@ -277,6 +284,7 @@ def main():
         data_parallel=args.dp if args.dp is not None else tpu_cfg.get("data_parallel", 0),
         seed=args.seed,
         image_dir=args.image_dir,
+        image_chunks=args.image_chunks,
         use_pallas_datagen=args.pallas_datagen,
         qat=args.qat or args.rtl_qat,
         rtl_faithful=args.rtl_qat,
