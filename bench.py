@@ -113,6 +113,9 @@ def main():
         # the Pallas study paths are [B, L, 2]-layout kernels; bench them in
         # the layout they were written for
         args.flat = False
+    if args.packed and args.remat:
+        ap.error("--remat applies to the standard step builder; the packed "
+                 "step has no remat wiring")
 
     import jax
 

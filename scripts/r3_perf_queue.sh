@@ -12,8 +12,11 @@ run() {
   label="$1"; shift
   echo "=== $label: $*" >&2
   line=$(timeout 900 python bench.py "$@" 2>/dev/null | tail -1)
-  echo "{\"label\": \"$label\", \"result\": $line}" >> "$out"
-  echo "$label -> $line" >&2
+  case "$line" in
+    "{"*) echo "{\"label\": \"$label\", \"result\": $line}" >> "$out" ;;
+    *)    echo "{\"label\": \"$label\", \"error\": \"bench failed or timed out\"}" >> "$out" ;;
+  esac
+  echo "$label -> ${line:-FAILED}" >&2
   sleep 15
 }
 
