@@ -43,7 +43,7 @@ COLORS = {
 }
 
 MODELS = {
-    "supervised": ("/tmp/mini_sup_nl/final_model", False),
+    "supervised": ("results/distributional_checkpoints/mini_sup_nl", False),
     "GAN": ("results/nonlinear_checkpoint", False),
     "residual GAN": ("results/residual_checkpoints/nonlinear/"
                      "champion_params_g.npz", True),
