@@ -192,3 +192,27 @@ class TestEnhanceCLI:
         assert r2.returncode == 0, r2.stderr[-1500:]
         out2 = np.load(tmp_path / "out2.npy")
         assert out2.shape == (20, 2, 16) and np.isfinite(out2).all()
+
+
+class TestBenchGuard:
+    def test_bench_dead_tunnel_emits_contract_line(self, tmp_path):
+        """bench.py must never hang when the axon tunnel relay is dead
+        (CLAUDE.md gotcha: the relay can die mid-session and backend init
+        then blocks forever; sitecustomize pins jax to axon via the config
+        API, so this is bench's default path regardless of env). With the
+        relay port pointed at a closed port it must fail FAST with one
+        parseable JSON line carrying the driver-contract keys."""
+        import socket
+        with socket.socket() as s:  # grab an ephemeral port, release it:
+            s.bind(("127.0.0.1", 0))  # the connect below is then refused
+            port = s.getsockname()[1]
+        env = {**os.environ, "OFDMGAN_RELAY_PORT": str(port)}
+        r = subprocess.run(
+            [sys.executable, str(REPO / "bench.py")], cwd=tmp_path,
+            env=env, capture_output=True, text=True, timeout=60,
+        )
+        assert r.returncode == 2, (r.returncode, r.stdout, r.stderr[-800:])
+        line = json.loads(r.stdout.strip().splitlines()[-1])
+        for k in ("metric", "value", "unit", "vs_baseline"):
+            assert k in line, line
+        assert line["value"] == 0.0 and "unreachable" in line["error"]
