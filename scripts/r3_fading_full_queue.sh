@@ -11,15 +11,23 @@
 # or by hand when the axon tunnel is alive.
 set -u
 cd "$(dirname "$0")/.."
-ckdir=/tmp/full_mp_nl
-outdir=results/full_fading
+ckdir=${CKDIR:-/tmp/full_mp_nl}
+outdir=${OUTDIR:-results/full_fading}
+# Smoke-test knobs (CPU dress rehearsal of the exact command wiring):
+#   EPOCHS=1 SPE=64 BATCH=16 FL=64 EXTRA="--platform cpu" bash scripts/r3_fading_full_queue.sh
+EPOCHS=${EPOCHS:-400}
+SPE=${SPE:-51200}
+BATCH=${BATCH:-512}
+FL=${FL:-1024}
+EXTRA=${EXTRA:-}
 mkdir -p "$outdir"
 
 echo "=== train: full U-Net, multipath+nonlinear, supervised champion recipe" >&2
 timeout 14400 python train.py \
   --model full --synthetic --nonlinear --channel multipath \
   --adv_weight 0 --n_critic 1 --lr 2e-4 --lr_step 70 --lr_gamma 0.5 \
-  --batch_size 512 --samples_per_epoch 51200 --epochs 400 --seed 0 \
+  --batch_size "$BATCH" --samples_per_epoch "$SPE" --epochs "$EPOCHS" \
+  --seed 0 --frame_length "$FL" $EXTRA \
   --checkpoint_dir "$ckdir" --skip_export \
   > "$outdir/train.log" 2>&1
 rc=$?
@@ -29,20 +37,20 @@ sleep 20
 
 echo "=== paired 51,200-frame eval (+ identity baseline)" >&2
 timeout 1800 python scripts/eval_checkpoint.py \
-  --checkpoint "$ckdir/final_model" --model full --frame_length 1024 \
+  --checkpoint "$ckdir/final_model" --model full --frame_length "$FL" $EXTRA \
   --nonlinear --channel multipath \
   > "$outdir/eval_final.txt" 2>&1
 sleep 15
 timeout 1800 python scripts/eval_checkpoint.py \
-  --identity --model full --frame_length 1024 --nonlinear --channel multipath \
+  --identity --model full --frame_length "$FL" --nonlinear --channel multipath $EXTRA \
   > "$outdir/eval_identity.txt" 2>&1
 sleep 15
 
 echo "=== pilot-protocol benchmark vs classical equalizers" >&2
 timeout 3600 python benchmark_comparison.py \
-  --model full --checkpoint "$ckdir/final_model" \
+  --model full --checkpoint "$ckdir/final_model" --frame_length "$FL" \
   --nonlinear --channel multipath --protocol pilot \
-  --output_dir "$outdir" \
+  --output_dir "$outdir" $EXTRA ${BENCH_EXTRA:-} \
   > "$outdir/benchmark_pilot.txt" 2>&1
 sleep 15
 
