@@ -158,11 +158,15 @@ def main():
                     help="unroll factor for the n_critic inner scan "
                          "(pure codegen, identical numerics)")
     ap.add_argument("--act_dtype", default="bfloat16",
-                    choices=["none", "bfloat16"],
+                    choices=["none", "bfloat16", "float8_e4m3fn",
+                             "float8_e5m2"],
                     help="activation STORAGE dtype: bf16 (default) halves "
                          "the HBM traffic of the (memory-bound) step while "
                          "matmuls keep f32 weights + f32 accumulation; "
-                         "'none' stores float32")
+                         "float8_* halves it again (stored fp8, exact "
+                         "upcast into the same bf16-operand MXU dots — "
+                         "experimental, see results/RESULTS.md §fp8 "
+                         "storage); 'none' stores float32")
     ap.add_argument("--matmul_precision", default="bf16_tf32gp",
                     choices=["float32", "tensorfloat32", "bfloat16",
                              "bf16_tf32gp", "bf16_f32gp"],

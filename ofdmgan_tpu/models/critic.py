@@ -26,6 +26,8 @@ from jax.nn import leaky_relu
 
 from .generator import conv1d, _XAVIER, _ZEROS
 
+_FP8_DTYPES = (jnp.float8_e4m3fn, jnp.float8_e5m2)
+
 
 class MiniDiscriminator(nn.Module):
     input_channels: int = 4  # candidate(2) + condition(2)
@@ -39,6 +41,15 @@ class MiniDiscriminator(nn.Module):
     @nn.compact
     def __call__(self, candidate: jnp.ndarray, condition: jnp.ndarray) -> jnp.ndarray:
         """``[B, L, 2] x [B, L, 2] -> [B, 1]`` critic score."""
+        if candidate.dtype != condition.dtype and (
+                candidate.dtype in _FP8_DTYPES or condition.dtype in _FP8_DTYPES):
+            # mixed-storage call (the generator-loss chain passes the f32
+            # generator output with the stored condition): fp8 lacks the
+            # implicit promotion bf16 storage relies on — upcast explicitly
+            target = (condition.dtype if candidate.dtype in _FP8_DTYPES
+                      else candidate.dtype)
+            candidate = candidate.astype(target)
+            condition = condition.astype(target)
         x = jnp.concatenate([candidate, condition], axis=-1)
         h = conv1d(self, x, self.conv1_channels, 3, 2, 1, self.use_matmul, name="conv1")
         h = leaky_relu(h, negative_slope=self.leaky_slope)
@@ -80,15 +91,28 @@ def compute_gradient_penalty(
     candidate only; norm over the flattened per-sample dims.
     """
     batch = real.shape[0]
+    fp8 = real.dtype in _FP8_DTYPES
     alpha = jax.random.uniform(key, (batch,) + (1,) * (real.ndim - 1), jnp.float32)
     # keep the interpolate in the inputs' STORAGE dtype (bf16 storage mode
-    # would otherwise silently promote the whole GP chain back to f32)
-    interp = (alpha * real + (1.0 - alpha) * fake).astype(real.dtype)
+    # would otherwise silently promote the whole GP chain back to f32);
+    # fp8 storage has no implicit promotion, so its mix is computed via
+    # explicit f32 upcasts (identical math — promotion does the same cast)
+    if fp8:
+        interp = (alpha * real.astype(jnp.float32)
+                  + (1.0 - alpha) * fake.astype(jnp.float32))
+    else:
+        interp = alpha * real + (1.0 - alpha) * fake
+    interp = interp.astype(real.dtype)
 
     def score_sum(x):
         return jnp.sum(critic_apply(params, x, condition))
 
     grads = jax.grad(score_sum)(interp)
+    if fp8:
+        # the cotangent arrives fp8-rounded at the storage boundary (that is
+        # the lattice-consistency the mode trains under); the norm REDUCTION
+        # itself must not also accumulate at 3 mantissa bits
+        grads = grads.astype(jnp.float32)
     norms = jnp.sqrt(jnp.sum(grads.reshape(batch, -1) ** 2, axis=1) + 1e-12)
     return jnp.mean((norms - 1.0) ** 2)
 

@@ -56,9 +56,18 @@ def _upsample_matrix(l_in: int, c: int) -> np.ndarray:
     return u
 
 
+FP8_DTYPES = (jnp.float8_e4m3fn, jnp.float8_e5m2)
+
+
 def _mm(h: jnp.ndarray, a: jnp.ndarray) -> jnp.ndarray:
     # accumulate in the promoted dtype: bf16 storage x f32 weights -> f32
-    # products/accumulator (same rule as ops/dense_conv.conv1d_via_matmul)
+    # products/accumulator (same rule as ops/dense_conv.conv1d_via_matmul).
+    # fp8 STORAGE reads as bf16 operands (exact upcast): fp8 is a storage
+    # format here — HBM bytes halve again vs bf16 — while the MXU pass
+    # stays the validated bf16-operand/f32-accumulate kernel; fp8 has no
+    # implicit promotion path, so the upcast must be explicit.
+    if h.dtype in FP8_DTYPES:
+        h = h.astype(jnp.bfloat16)
     return jnp.matmul(h, a, preferred_element_type=jnp.promote_types(h.dtype, a.dtype))
 
 
@@ -88,8 +97,9 @@ def tf32_matmul(x: jnp.ndarray, a: jnp.ndarray) -> jnp.ndarray:
     chain" stability property (results/RESULTS.md §tf32) is preserved in
     forward, reverse, and second-order transposes alike."""
     f32 = jnp.float32
-    if x.dtype == jnp.bfloat16:
-        xh, xl = x, None
+    if x.dtype == jnp.bfloat16 or x.dtype in FP8_DTYPES:
+        # sub-bf16 storage upcasts exactly into the high half; no residual
+        xh, xl = x.astype(jnp.bfloat16), None
     else:
         xh = x.astype(jnp.bfloat16)
         xl = (x - xh.astype(f32)).astype(jnp.bfloat16)

@@ -183,8 +183,10 @@ class MiniGenerator(nn.Module):
             if self.input_residual:
                 # RTL-residual output stage: saturating input add replaces
                 # the clamp-tanh (intsim mode "rtl_residual"; the hardware
-                # sat16 at ±128.0 Q8.8 is inactive for normalized signals)
-                return x + out
+                # sat16 at ±128.0 Q8.8 is inactive for normalized signals).
+                # explicit upcast: matches implicit promotion for bf16
+                # storage; fp8 storage has no implicit promotion path
+                return x.astype(out.dtype) + out
             # hardware tanh = clamp: >1 -> 255/256, < -1 -> -255/256
             return jnp.where(out > 1.0, 255.0 / 256.0,
                              jnp.where(out < -1.0, -255.0 / 256.0, out))
@@ -193,7 +195,7 @@ class MiniGenerator(nn.Module):
             name="out_conv", qat=self.qat,
         )
         if self.input_residual:
-            return x + out
+            return x.astype(out.dtype) + out
         return jnp.tanh(out)
 
     def layer_info(self) -> List[Dict[str, Any]]:

@@ -106,6 +106,11 @@ def conv1d_via_matmul(
     l_out = conv1d_output_length(l_in, k, stride, padding)
     fin, fout = l_in * cin, l_out * cout
     xf = x.reshape(*batch_shape, fin)
+    if xf.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2):
+        # fp8 is storage-only: exact upcast to the validated bf16-operand
+        # MXU kernel (fp8 has no implicit promotion path; models/flat._mm
+        # applies the same rule on the flat path)
+        xf = xf.astype(jnp.bfloat16)
     pack = 128 // max(fin, fout) if LANE_PACK else 1
     if (pack > 1 and len(batch_shape) == 1
             and isinstance(batch_shape[0], int) and batch_shape[0] % pack == 0):
@@ -114,7 +119,7 @@ def conv1d_via_matmul(
         # accumulate in the PROMOTED dtype: with bf16-stored activations
         # (x bf16, weights f32) the MXU products/accumulator stay f32 —
         # bf16 is a STORAGE format here, not a compute format
-        y = jnp.matmul(xf, a, preferred_element_type=jnp.promote_types(x.dtype, a.dtype))
+        y = jnp.matmul(xf, a, preferred_element_type=jnp.promote_types(xf.dtype, a.dtype))
     y = y.reshape(*batch_shape, l_out, cout)
     if b is not None:
         y = y + b

@@ -32,6 +32,8 @@ from flax import struct
 from ..models.critic import compute_gradient_penalty
 from ..signal.datagen import DatagenConfig, synthetic_batch
 
+_FP8_DTYPES = (jnp.float8_e4m3fn, jnp.float8_e5m2)
+
 
 @dataclasses.dataclass(frozen=True)
 class LossConfig:
@@ -124,6 +126,10 @@ def generator_loss_fn(
     noisy, clean = batch["noisy"], batch["clean"]
     fake = gen_apply(params_g, noisy)
     adv = -jnp.mean(critic_apply(params_d, fake, noisy))
+    if clean.dtype in _FP8_DTYPES:
+        # fp8 storage has no implicit promotion path; explicit upcast to the
+        # generator output's dtype (what promotion does for bf16 storage)
+        clean = clean.astype(fake.dtype)
     rec = jnp.mean(jnp.abs(fake - clean))
     loss = cfg.adv_weight * adv + cfg.rec_weight * rec
     aux = {"g_loss": loss, "adv_loss": adv, "rec_loss": rec}

@@ -26,6 +26,12 @@ run gp_tf32x3        --mm tf32x3_gp   # explicit 2-pass GP dots
 run remat_gp         --remat --mm tf32x3_gp
 run packed4_bf16     --packed 4       # packed inherits bf16 defaults now
 run packed2_bf16     --packed 2
+# fp8 activation STORAGE (stored float8, exact upcast into the same
+# bf16-operand dots): halves the frame-tensor bytes again on a step at
+# ~93% of HBM speed-of-light. Run only if the CPU stability eval
+# (results/RESULTS.md §fp8 storage) cleared it.
+run fp8_e4m3         --act_dtype float8_e4m3fn
+run fp8_e4m3_remat   --act_dtype float8_e4m3fn --remat
 
 echo "queue done -> $out" >&2
 cat "$out"

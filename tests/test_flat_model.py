@@ -303,3 +303,38 @@ class TestTrainingParity:
         for k in ("d_loss", "g_loss", "rec_loss", "gradient_penalty"):
             a, b = float(m_ref[-1][k]), float(m_flat[-1][k])
             assert abs(a - b) <= 0.03 * max(1.0, abs(a)), (k, a, b)
+
+    def test_full_step_fp8_storage(self):
+        """fp8 activation STORAGE (stored float8_e4m3fn, exact upcast into
+        the same bf16-operand/f32-accumulate dots): module and flat paths
+        compute the same step, metrics finite and GP-sane. fp8 has no
+        implicit promotion, so this exercises every explicit-upcast site
+        (GP interpolant/norm, gen-loss L1, critic concat, dense_conv)."""
+        AD = "float8_e4m3fn"
+        gen = MiniGenerator(act_dtype=AD)
+        critic = MiniDiscriminator(act_dtype=AD)
+        _, m_ref = self._steps(gen.apply, critic.apply, n=2, act_dtype=AD,
+                               matmul_precision="bf16_tf32gp")
+        _, m_flat = self._steps(
+            make_generator_flat_apply(act_dtype=AD),
+            make_critic_flat_apply(act_dtype=AD), n=2, act_dtype=AD,
+            matmul_precision="bf16_tf32gp")
+        for k in ("d_loss", "g_loss", "rec_loss", "gradient_penalty"):
+            a, b = float(m_ref[-1][k]), float(m_flat[-1][k])
+            assert np.isfinite(a) and np.isfinite(b), (k, a, b)
+            assert abs(a - b) <= 0.05 * max(1.0, abs(a)), (k, a, b)
+        assert 0.0 < float(m_flat[-1]["gradient_penalty"]) < 5.0
+
+    def test_fp8_residual_head_and_fp8_flat_datagen(self):
+        """Residual head + flat matmul-form datagen compose with fp8
+        storage (the bench --flat --act_dtype float8_e4m3fn config)."""
+        AD = "float8_e4m3fn"
+        dg = DatagenConfig.make(frame_length=16, snr_range=(0, 30))
+        _, m = self._steps(
+            make_generator_flat_apply(act_dtype=AD, input_residual=True),
+            make_critic_flat_apply(act_dtype=AD), n=2, act_dtype=AD,
+            matmul_precision="bf16_tf32gp",
+            batch_fn=lambda k, n: synthetic_batch_flat(k, n, dg),
+            critic_unroll=5)
+        for k in ("d_loss", "g_loss", "rec_loss", "gradient_penalty"):
+            assert np.isfinite(float(m[-1][k])), (k, m[-1][k])

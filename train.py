@@ -124,12 +124,16 @@ def main():
                              "bf16_*gp modes run bf16 everywhere except the "
                              "gradient-penalty chain)")
     parser.add_argument("--act_dtype", default=None,
-                        choices=["bfloat16"],
+                        choices=["bfloat16", "float8_e4m3fn", "float8_e5m2"],
                         help="activation STORAGE dtype for the train step "
                              "(params, matmul accumulation and optimizer "
                              "state stay float32; halves HBM traffic of the "
                              "memory-bound step — see results/RESULTS.md "
-                             "§bf16 storage)")
+                             "§bf16 storage). float8_* halves it again: "
+                             "tensors are STORED fp8 and read into the "
+                             "validated bf16-operand/f32-accumulate matmul "
+                             "(exact upcast); experimental — stability "
+                             "evidence in results/RESULTS.md §fp8 storage")
     parser.add_argument("--flat", action="store_true",
                         help="mini model only: train with the flat-layout "
                              "[B, F] applies (folded upsample/concat/pool, "
