@@ -33,5 +33,10 @@ run packed2_bf16     --packed 2
 run fp8_e4m3         --act_dtype float8_e4m3fn
 run fp8_e4m3_remat   --act_dtype float8_e4m3fn --remat
 
+echo "=== regenerate the HLO speed-of-light artifact (compile-only)" >&2
+timeout 900 python scripts/perf_hlo_flat.py >&2 || \
+  echo "perf_hlo_flat regeneration failed" >&2
+sleep 15
+
 echo "queue done -> $out" >&2
 cat "$out"
