@@ -446,3 +446,295 @@ class GeneratorMiniRTL:
         # as in the RTL — LOAD_IN clears what matters)
         self.step()
         return out
+
+
+class DiscriminatorMiniRTL:
+    """Cycle model of discriminator_mini.v (513 lines, FSM at :80-89).
+
+    As-built behaviors beyond the generator's (same registered-ROM skew
+    and counter carry-over): ST_CONV2 inherits out_ch 7 from CONV1's
+    final counters so channels 0-6 are never computed
+    (discriminator_mini.v:365-367 clear guard fails), ST_POOL inherits
+    out_ch 15 and pools ONLY channel 15 (:432-436), and ST_DENSE's exit
+    counter increments pipe_flush every cycle once out_ch==15 (:476-479)
+    while pipe_s2_last stays 1, so the last channel's ksum + bias are
+    re-accumulated on every flush-wait cycle — with the checked-in ROM
+    this makes the score a constant -4 (4 x dense bias) for every input,
+    which is exactly what the recorded testbench run shows.
+    """
+
+    IN_CH, FRAME_LEN = 4, 16
+    CONV1_OUT_CH, CONV1_OUT_LEN = 8, 8
+    CONV2_OUT_CH, CONV2_OUT_LEN = 16, 4
+    WADDR_CONV1, WADDR_CONV2, WADDR_DENSE = 256, 352, 736
+    BADDR_CONV1, BADDR_CONV2, BADDR_DENSE = 32, 40, 56
+    (IDLE, LOAD_CAND, LOAD_COND, CONV1, CONV2, POOL, DENSE, OUTPUT,
+     DONE) = range(9)
+
+    def __init__(self, rom_weights, rom_biases):
+        self.rom_w = [int(v) for v in rom_weights]
+        self.rom_b = [int(v) for v in rom_biases]
+        self.reset()
+
+    def reset(self) -> None:
+        self.state = self.IDLE
+        self.input_buf = [[0] * (self.FRAME_LEN + 2) for _ in range(self.IN_CH)]
+        self.conv1_buf = [[0] * (self.CONV1_OUT_LEN + 2)
+                          for _ in range(self.CONV1_OUT_CH)]
+        self.conv2_buf = [[0] * self.CONV2_OUT_LEN
+                          for _ in range(self.CONV2_OUT_CH)]
+        self.pool_buf = [0] * self.CONV2_OUT_CH
+        self.wab = 0
+        self.bias_addr = 0
+        self.wk = [0, 0, 0]
+        self.bias_data = 0
+        self.data_k = [0, 0, 0]
+        self.s2_valid = self.s2_oc = self.s2_op = self.s2_last = 0
+        self.s3_valid = self.s3_oc = self.s3_op = self.s3_last = 0
+        self.s3_ksum = 0
+        self.accum = [0] * 16
+        self.dense_acc = 0
+        self.load_ch = self.load_pos = 0
+        self.oc = self.op = self.ic = 0
+        self.flush = 0
+        self.score_out = 0
+        self.score_valid = 0
+
+    def _next_state(self, start, cand_valid, cond_valid):
+        s = self.state
+        if s == self.IDLE:
+            return self.LOAD_CAND if start else s
+        if s == self.LOAD_CAND:
+            if self.load_ch == 1 and self.load_pos == self.FRAME_LEN - 1 \
+                    and cand_valid:
+                return self.LOAD_COND
+        elif s == self.LOAD_COND:
+            if self.load_ch == 1 and self.load_pos == self.FRAME_LEN - 1 \
+                    and cond_valid:
+                return self.CONV1
+        elif s == self.CONV1:
+            if (self.oc == self.CONV1_OUT_CH - 1
+                    and self.op == self.CONV1_OUT_LEN - 1
+                    and self.ic == self.IN_CH - 1 and self.flush == 2):
+                return self.CONV2
+        elif s == self.CONV2:
+            if (self.oc == self.CONV2_OUT_CH - 1
+                    and self.op == self.CONV2_OUT_LEN - 1
+                    and self.ic == self.CONV1_OUT_CH - 1 and self.flush == 2):
+                return self.POOL
+        elif s == self.POOL:
+            if (self.oc == self.CONV2_OUT_CH - 1
+                    and self.op == self.CONV2_OUT_LEN - 1):
+                return self.DENSE
+        elif s == self.DENSE:
+            if self.oc == self.CONV2_OUT_CH - 1 and self.flush == 2:
+                return self.OUTPUT
+        elif s == self.OUTPUT:
+            return self.DONE
+        elif s == self.DONE:
+            return self.IDLE
+        return s
+
+    def step(self, start=0, cand_valid=0, cand_in=0, cond_valid=0,
+             cond_in=0) -> None:
+        s = self.state
+        nxt: Dict[str, object] = {"state": self._next_state(
+            start, cand_valid, cond_valid)}
+        nxt["wk"] = [self.rom_w[_wrap(self.wab + k, 11)] for k in range(3)]
+        nxt["bias_data"] = self.rom_b[_wrap(self.bias_addr, 6)]
+
+        # ---- loading (:220-255) ----
+        if s == self.IDLE and start:
+            nxt["load_ch"], nxt["load_pos"] = 0, 0
+            nxt["input_clear"] = True
+        elif s == self.LOAD_CAND and cand_valid:
+            nxt["input_write"] = (self.load_ch, self.load_pos + 1,
+                                  _swrap(cand_in, 16))
+            if self.load_pos == self.FRAME_LEN - 1:
+                nxt["load_pos"] = 0
+                nxt["load_ch"] = 0 if self.load_ch == 1 \
+                    else _wrap(self.load_ch + 1, 2)
+            else:
+                nxt["load_pos"] = self.load_pos + 1
+        elif s == self.LOAD_COND and cond_valid:
+            nxt["input_write"] = (self.load_ch + 2, self.load_pos + 1,
+                                  _swrap(cond_in, 16))
+            if self.load_pos == self.FRAME_LEN - 1:
+                nxt["load_pos"] = 0
+                nxt["load_ch"] = _wrap(self.load_ch + 1, 2)
+            else:
+                nxt["load_pos"] = self.load_pos + 1
+
+        # ---- score output (:489-505) ----
+        if s == self.OUTPUT:
+            nxt["score_out"] = _sat_store(self.dense_acc)
+            nxt["score_valid"] = 1
+        else:
+            nxt["score_valid"] = 0
+
+        kernel_sum = _swrap(sum(
+            _sra(_swrap(self.data_k[k] * self.wk[k], 24), 7)
+            for k in range(3)), 32)
+
+        if s in (self.IDLE, self.LOAD_CAND, self.LOAD_COND):
+            nxt.update(oc=0, op=0, ic=0, flush=0, s2_valid=0, s3_valid=0,
+                       dense_acc=0)
+            nxt["accum_clear"] = True
+            nxt["pool_clear"] = True
+        elif s in (self.CONV1, self.CONV2):
+            if s == self.CONV1:
+                src, ic_n, oc_n, op_n = self.input_buf, self.IN_CH, \
+                    self.CONV1_OUT_CH, self.CONV1_OUT_LEN
+                waddr = self.WADDR_CONV1 + self.oc * (self.IN_CH * 3) \
+                    + self.ic * 3
+                baddr = self.BADDR_CONV1 + self.oc
+            else:
+                src, ic_n, oc_n, op_n = self.conv1_buf, self.CONV1_OUT_CH, \
+                    self.CONV2_OUT_CH, self.CONV2_OUT_LEN
+                waddr = self.WADDR_CONV2 + self.oc * (self.CONV1_OUT_CH * 3) \
+                    + self.ic * 3
+                baddr = self.BADDR_CONV2 + self.oc
+                if (self.oc == 0 and self.op == 0 and self.ic == 0
+                        and self.flush == 0):
+                    nxt.update(s2_valid=0, s3_valid=0)
+                    nxt["accum_clear"] = True
+            nxt["wab"] = _wrap(waddr, 11)
+            nxt["bias_addr"] = _wrap(baddr, 6)
+            dk = list(self.data_k)
+            for k in range(3):
+                ci, pi = self.ic, self.op * 2 + k
+                assert 0 <= ci < len(src) and 0 <= pi < len(src[0]), \
+                    f"x-propagating OOB read in disc state {s}"
+                dk[k] = src[ci][pi]
+            nxt["data_k"] = dk
+            nxt["s2_valid"] = 1
+            nxt["s2_oc"], nxt["s2_op"] = self.oc, self.op
+            nxt["s2_last"] = int(self.ic == ic_n - 1)
+            nxt["s3_valid"] = self.s2_valid
+            nxt["s3_oc"], nxt["s3_op"] = self.s2_oc, self.s2_op
+            nxt["s3_last"] = self.s2_last
+            nxt["s3_ksum"] = kernel_sum
+            if self.s3_valid:
+                a = _wrap(self.s3_oc, 4)
+                if self.s3_last:
+                    total = _swrap(
+                        self.accum[a] + self.s3_ksum + self.bias_data, 32)
+                    r = _lrelu16(_sat_store(total))
+                    if s == self.CONV1:
+                        nxt["conv1_write"] = (self.s3_oc, self.s3_op + 1, r)
+                    else:
+                        nxt["conv2_write"] = (self.s3_oc, self.s3_op, r)
+                    nxt["accum_write"] = (a, 0)
+                else:
+                    nxt["accum_write"] = (
+                        a, _swrap(self.accum[a] + self.s3_ksum, 32))
+            if self.ic == ic_n - 1:
+                nxt["ic"] = 0
+                if self.op == op_n - 1:
+                    nxt["op"] = 0
+                    if self.oc == oc_n - 1:
+                        nxt["flush"] = _wrap(self.flush + 1, 3)
+                    else:
+                        nxt["oc"] = _wrap(self.oc + 1, 5)
+                else:
+                    nxt["op"] = _wrap(self.op + 1, 5)
+            else:
+                nxt["ic"] = _wrap(self.ic + 1, 5)
+        elif s == self.POOL:
+            nxt.update(s2_valid=0, s3_valid=0, flush=0)
+            if self.oc < self.CONV2_OUT_CH and self.op < self.CONV2_OUT_LEN:
+                nxt["pool_write"] = (self.oc, _swrap(
+                    self.pool_buf[self.oc] + self.conv2_buf[self.oc][self.op],
+                    32))
+            if self.op == self.CONV2_OUT_LEN - 1:
+                nxt["op"] = 0
+                nxt["oc"] = 0 if self.oc == self.CONV2_OUT_CH - 1 \
+                    else _wrap(self.oc + 1, 5)
+            else:
+                nxt["op"] = self.op + 1
+        elif s == self.DENSE:
+            nxt["wab"] = _wrap(self.WADDR_DENSE + self.oc, 11)
+            nxt["bias_addr"] = _wrap(self.BADDR_DENSE, 6)
+            if self.oc < self.CONV2_OUT_CH:
+                nxt["data_k"] = [_swrap(self.pool_buf[self.oc], 16),
+                                 self.data_k[1], self.data_k[2]]
+            nxt["s2_valid"] = 1
+            nxt["s2_oc"] = self.oc
+            nxt["s2_last"] = int(self.oc == self.CONV2_OUT_CH - 1)
+            nxt["s3_valid"] = self.s2_valid
+            nxt["s3_oc"] = self.s2_oc
+            nxt["s3_last"] = self.s2_last
+            nxt["s3_ksum"] = _sra(_swrap(self.data_k[0] * self.wk[0], 24), 7)
+            if self.s3_valid:
+                if self.s3_last:  # second assignment wins (:468-472)
+                    nxt["dense_acc"] = _swrap(
+                        self.dense_acc + self.s3_ksum + self.bias_data, 32)
+                else:
+                    nxt["dense_acc"] = _swrap(
+                        self.dense_acc + self.s3_ksum, 32)
+            if self.oc == self.CONV2_OUT_CH - 1:
+                nxt["flush"] = _wrap(self.flush + 1, 3)
+            else:
+                nxt["oc"] = _wrap(self.oc + 1, 5)
+
+        self._commit(nxt)
+
+    def _commit(self, nxt: Dict[str, object]) -> None:
+        def buf_write(buf, key):
+            if key in nxt:
+                ch, pos, v = nxt[key]
+                if 0 <= ch < len(buf) and 0 <= pos < len(buf[0]):
+                    buf[ch][pos] = v
+
+        if nxt.pop("input_clear", False):
+            for row in self.input_buf:
+                row[:] = [0] * len(row)
+        if nxt.pop("accum_clear", False):
+            self.accum = [0] * 16
+        if nxt.pop("pool_clear", False):
+            self.pool_buf = [0] * self.CONV2_OUT_CH
+        buf_write(self.input_buf, "input_write")
+        buf_write(self.conv1_buf, "conv1_write")
+        buf_write(self.conv2_buf, "conv2_write")
+        if "pool_write" in nxt:
+            ch, v = nxt["pool_write"]
+            if 0 <= ch < len(self.pool_buf):
+                self.pool_buf[ch] = v
+        if "accum_write" in nxt:
+            a, v = nxt["accum_write"]
+            self.accum[a] = v
+        for key in ("state", "wk", "bias_data", "wab", "bias_addr", "data_k",
+                    "s2_valid", "s2_oc", "s2_op", "s2_last", "s3_valid",
+                    "s3_oc", "s3_op", "s3_last", "s3_ksum", "dense_acc",
+                    "load_ch", "load_pos", "oc", "op", "ic", "flush",
+                    "score_out", "score_valid"):
+            if key in nxt:
+                setattr(self, key, nxt[key])
+
+    def run_pair(self, cand: Sequence[int], cond: Sequence[int],
+                 max_cycles: int = 20000) -> int:
+        """Drive one (candidate, condition) transaction per
+        tb_discriminator_mini.v:290-410; returns the registered score."""
+        assert len(cand) == 32 and len(cond) == 32
+        for _ in range(3):
+            self.step()
+        self.step(start=1)
+        ci = di = 0
+        score = None
+        for _ in range(max_cycles):
+            if self.state == self.LOAD_CAND and ci < 32:
+                self.step(cand_valid=1, cand_in=int(cand[ci]))
+                ci += 1
+            elif self.state == self.LOAD_COND and di < 32:
+                self.step(cond_valid=1, cond_in=int(cond[di]))
+                di += 1
+            else:
+                self.step()
+            if self.score_valid:
+                score = self.score_out
+            if self.state == self.DONE:
+                break
+        else:
+            raise RuntimeError("discriminator cycle model did not reach DONE")
+        self.step()
+        return score

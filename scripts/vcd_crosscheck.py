@@ -24,10 +24,32 @@ script:
      tests are deterministic — tb_generator_mini.v:213-434,
      tb_discriminator_mini.v:177-249) and requires the extracted inputs
      to match it exactly, pinning the VCD timing conventions,
-  4. replays the recorded inputs through BOTH engines and compares every
-     output word bit-for-bit against the RTL's recorded outputs.
+  4. cross-checks every ROM read the RTL performed (the VCDs dump the
+     weight/bias ROM address and data buses) against the parsed
+     weight_rom.v contents,
+  5. replays the recorded inputs through the as-built cycle model
+     (verify/rtl_cycle_model.py) and requires EVERY output word to match
+     the recorded RTL bit-for-bit, and
+  6. replays them through intsim (JAX) and fixsim (C++), which implement
+     the *documented* datapath — these are EXPECTED to diverge from the
+     as-built RTL (see rtl_cycle_model.py's catalog of hardware
+     behaviors: registered-ROM weight skew, inter-state counter
+     carry-over, partial-stage execution); the script records the
+     divergence and verifies the two engines still agree with each
+     other on the recorded inputs.
 
-Writes results/vcd_crosscheck.json. Exit code 0 iff everything matches.
+Finding (first established by this script): the reference RTL, executing
+under its author's own simulator with its own checked-in ROM, does NOT
+compute the documented network — e.g. its critic outputs the constant
+-4 for every recorded input. Its testbenches pass anyway because their
+golden checks are range windows, not values
+(tb_generator_mini.v:213-218). The reference's Python-side export/
+verification never replays the RTL numerically, so this was invisible
+upstream.
+
+Writes results/vcd_crosscheck.json. Exit code 0 iff every required
+check passes (the intended-vs-as-built divergence is recorded, not
+failed).
 """
 
 import json
@@ -136,9 +158,12 @@ def main() -> int:
     from ofdmgan_tpu.quant import intsim
     from ofdmgan_tpu.quant.rom_codegen import parse_rom_verilog, unpack_rom_arrays
     from ofdmgan_tpu.verify import cosim
-    from ofdmgan_tpu.verify.vcd import Stream, extract_transactions
+    from ofdmgan_tpu.verify.rtl_cycle_model import (
+        DiscriminatorMiniRTL, GeneratorMiniRTL)
+    from ofdmgan_tpu.verify.vcd import VCD, Stream, extract_transactions, to_signed
 
-    report = {"rom": str(REF_RTL / "weight_rom.v"), "checks": {}}
+    report = {"rom": str(REF_RTL / "weight_rom.v"), "checks": {},
+              "divergence": {}}
     ok = True
 
     def record(name, passed, **details):
@@ -150,6 +175,30 @@ def main() -> int:
 
     rom_w, rom_b = parse_rom_verilog(str(REF_RTL / "weight_rom.v"))
     gen_ip, disc_ip = unpack_rom_arrays(rom_w, rom_b)
+
+    # ------------- ROM bus cross-check (both dumps) -------------
+    for tb in ("tb_generator_mini", "tb_discriminator_mini"):
+        vcd = VCD(str(REF_RTL / f"{tb}.vcd"))
+        tracked = {}
+        for k in range(3):
+            tracked[f"wa{k}"] = f"{tb}.dut.weight_addr_k{k}"
+            tracked[f"wk{k}"] = f"{tb}.dut.weight_k{k}"
+        tracked["ba"] = f"{tb}.dut.bias_addr"
+        tracked["bd"] = f"{tb}.dut.bias_data"
+        w_reads, b_reads, w_bad, b_bad = 0, 0, 0, 0
+        for _, pre, post in vcd.posedge_samples(f"{tb}.clk", tracked):
+            for k in range(3):
+                a, d = pre.get(f"wa{k}"), post.get(f"wk{k}")
+                if a is not None and d is not None:
+                    w_reads += 1
+                    w_bad += int(to_signed(d, 8) != int(rom_w[a]))
+            a, d = pre.get("ba"), post.get("bd")
+            if a is not None and d is not None:
+                b_reads += 1
+                b_bad += int(to_signed(d, 16) != int(rom_b[a]))
+        record(f"{tb}_rom_reads_match_parsed", w_bad == 0 and b_bad == 0,
+               weight_reads=w_reads, bias_reads=b_reads,
+               weight_mismatches=w_bad, bias_mismatches=b_bad)
 
     # ---------------- generator ----------------
     print("generator: tb_generator_mini.vcd")
@@ -171,19 +220,32 @@ def main() -> int:
     x = np.stack([chmajor_to_blc(tests[t]["data_in"]) for t in range(n)])
     rtl_out = np.stack([chmajor_to_blc(tests[t]["data_out"]) for t in range(n)])
 
+    # as-built cycle model: must be bit-exact (tests share one DUT
+    # instance back-to-back, as in the recorded run)
+    gmodel = GeneratorMiniRTL(rom_w, rom_b)
+    cyc_out = np.stack([chmajor_to_blc(gmodel.run_frame(tests[t]["data_in"]))
+                        for t in range(n)])
+    record("gen_cycle_model_bitexact", np.array_equal(cyc_out, rtl_out),
+           mismatches=int(np.sum(cyc_out != rtl_out)))
+
+    # documented-datapath engines: record the divergence from the
+    # as-built RTL, and require the two engines to agree with each other
     jax_out = np.asarray(intsim.generator_int_forward(
         gen_ip, x.astype(np.int32), mode="rtl"))
-    record("gen_intsim_bitexact", np.array_equal(jax_out, rtl_out),
-           max_abs_delta=int(np.max(np.abs(jax_out - rtl_out))),
-           mismatches=int(np.sum(jax_out != rtl_out)))
-
     cpp_out = cosim.generator_forward(
         rom_w.astype(np.int8), rom_b.astype(np.int16),
         np.swapaxes(x, 1, 2).astype(np.int16))
     cpp_out = np.swapaxes(cpp_out, 1, 2).astype(np.int32)
-    record("gen_fixsim_bitexact", np.array_equal(cpp_out, rtl_out),
-           max_abs_delta=int(np.max(np.abs(cpp_out - rtl_out))),
-           mismatches=int(np.sum(cpp_out != rtl_out)))
+    record("gen_intsim_fixsim_agree", np.array_equal(jax_out, cpp_out))
+    report["divergence"]["generator_documented_vs_asbuilt"] = {
+        "mismatching_words": int(np.sum(jax_out != rtl_out)),
+        "total_words": int(rtl_out.size),
+        "max_abs_delta_q88": int(np.max(np.abs(jax_out - rtl_out))),
+        "note": "expected: the as-built RTL does not compute the "
+                "documented datapath (see verify/rtl_cycle_model.py)",
+    }
+    print(f"  [INFO] documented vs as-built generator: "
+          f"{int(np.sum(jax_out != rtl_out))}/{rtl_out.size} words differ")
 
     # ---------------- discriminator ----------------
     print("discriminator: tb_discriminator_mini.vcd")
@@ -207,18 +269,32 @@ def main() -> int:
 
     cand = np.stack([chmajor_to_blc(dtests[t]["cand_in"]) for t in range(m)])
     cond = np.stack([chmajor_to_blc(dtests[t]["cond_in"]) for t in range(m)])
+
+    dmodel = DiscriminatorMiniRTL(rom_w, rom_b)
+    cyc_scores = np.array(
+        [dmodel.run_pair(dtests[t]["cand_in"], dtests[t]["cond_in"])
+         for t in range(m)], np.int32)
+    record("disc_cycle_model_bitexact",
+           np.array_equal(cyc_scores, rtl_scores),
+           rtl=rtl_scores.tolist(), ours=cyc_scores.tolist())
+
     jax_scores = np.asarray(intsim.discriminator_int_forward(
         disc_ip, cand.astype(np.int32), cond.astype(np.int32),
         mode="rtl"))[:, 0]
-    record("disc_intsim_bitexact", np.array_equal(jax_scores, rtl_scores),
-           rtl=rtl_scores.tolist(), ours=jax_scores.tolist())
-
     cpp_scores = cosim.discriminator_forward(
         rom_w.astype(np.int8), rom_b.astype(np.int16),
         np.swapaxes(cand, 1, 2).astype(np.int16),
         np.swapaxes(cond, 1, 2).astype(np.int16)).astype(np.int32)
-    record("disc_fixsim_bitexact", np.array_equal(cpp_scores, rtl_scores),
-           rtl=rtl_scores.tolist(), ours=cpp_scores.tolist())
+    record("disc_intsim_fixsim_agree",
+           np.array_equal(jax_scores, cpp_scores))
+    report["divergence"]["discriminator_documented_vs_asbuilt"] = {
+        "rtl_scores": rtl_scores.tolist(),
+        "documented_datapath_scores": jax_scores.tolist(),
+        "note": "the as-built critic returns a constant (4 x dense bias) "
+                "regardless of input — see rtl_cycle_model.py",
+    }
+    print(f"  [INFO] as-built critic scores {rtl_scores.tolist()} vs "
+          f"documented-datapath {jax_scores.tolist()}")
 
     report["ok"] = ok
     out = REPO / "results" / "vcd_crosscheck.json"
