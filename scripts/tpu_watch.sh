@@ -25,7 +25,10 @@ EOF
       echo "[tpu_watch] perf queue complete — starting full fading train" >&2
       sleep 20
       bash scripts/r3_fading_full_queue.sh
-      echo "[tpu_watch] fading-full queue complete" >&2
+      echo "[tpu_watch] fading-full queue complete — fp8 on-chip stability" >&2
+      sleep 20
+      bash scripts/r3_fp8_stability_queue.sh
+      echo "[tpu_watch] fp8 stability queue complete" >&2
       exit 0
     else
       echo "[tpu_watch] relay answered but devices() failed; keep waiting" >&2
