@@ -157,6 +157,12 @@ def main():
     ap.add_argument("--critic_unroll", type=int, default=5,
                     help="unroll factor for the n_critic inner scan "
                          "(pure codegen, identical numerics)")
+    ap.add_argument("--outer_unroll", type=int, default=1,
+                    help="unroll factor for the outer scan_steps scan (pure "
+                         "codegen, identical numerics): adjacent steps' "
+                         "datagen is data-independent, so unrolling lets "
+                         "XLA overlap it with the previous step's serial "
+                         "update chain")
     ap.add_argument("--act_dtype", default="bfloat16",
                     choices=["none", "bfloat16", "float8_e4m3fn",
                              "float8_e5m2"],
@@ -271,6 +277,7 @@ def main():
                 act_dtype=args.act_dtype, batch_fn=batch_fn,
                 critic_unroll=args.critic_unroll,
                 critic_apply_gp=critic_apply_gp, remat=args.remat,
+                outer_unroll=args.outer_unroll,
             ),
             donate_argnums=0,
         )

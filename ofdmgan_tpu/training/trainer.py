@@ -172,6 +172,7 @@ class Trainer:
         # (parity: tests/test_flat_model.py).
         train_gen_apply = self.generator.apply
         train_critic_apply = self.discriminator.apply
+        critic_apply_gp = None
         user_batch_fn = batch_fn  # image-dataset sampler (drives eval below)
         if flat_step:
             if qat or rtl_faithful or generator is not None:
@@ -180,6 +181,11 @@ class Trainer:
             from ..models.flat import (make_critic_flat_apply,
                                        make_generator_flat_apply)
 
+            # "tf32x3_gp" = ambient (bf16 under bf16_tf32gp) model dots with
+            # JUST the gradient-penalty chain on explicit bf16x3 dots — the
+            # bench.py --mm tf32x3_gp config (fastest measured on chip,
+            # results/r3_perf_queue.jsonl)
+            mm_model = "ambient" if mm == "tf32x3_gp" else mm
             train_gen_apply = make_generator_flat_apply(
                 frame_length=frame_length,
                 enc1_channels=gcfg.get("enc1_channels", 4),
@@ -188,7 +194,7 @@ class Trainer:
                 leaky_slope=gcfg.get("leaky_slope", 0.2),
                 act_dtype=act_dtype,
                 input_residual=gcfg.get("input_residual", False),
-                mm=mm,
+                mm=mm_model,
             )
             train_critic_apply = make_critic_flat_apply(
                 frame_length=frame_length,
@@ -196,8 +202,17 @@ class Trainer:
                 conv2_channels=dcfg.get("conv2_channels", 16),
                 leaky_slope=dcfg.get("leaky_slope", 0.2),
                 act_dtype=act_dtype,
-                mm=mm,
+                mm=mm_model,
             )
+            if mm == "tf32x3_gp":
+                critic_apply_gp = make_critic_flat_apply(
+                    frame_length=frame_length,
+                    conv1_channels=dcfg.get("conv1_channels", 8),
+                    conv2_channels=dcfg.get("conv2_channels", 16),
+                    leaky_slope=dcfg.get("leaky_slope", 0.2),
+                    act_dtype=act_dtype,
+                    mm="tf32x3",
+                )
             if (batch_fn is None and not self.dg_cfg.nonlinear
                     and self.dg_cfg.channel.kind == "awgn"):
                 from ..signal.datagen import synthetic_batch_flat
@@ -227,6 +242,9 @@ class Trainer:
             if remat:
                 raise ValueError("remat is wired for the single-device "
                                  "step; drop --remat with dp>1")
+            if critic_apply_gp is not None:
+                raise ValueError("mm='tf32x3_gp' is wired for the "
+                                 "single-device step; drop it with dp>1")
         else:
             self._step = make_train_step(
                 train_gen_apply, train_critic_apply,
@@ -237,6 +255,7 @@ class Trainer:
                 act_dtype=act_dtype,
                 critic_unroll=critic_unroll,
                 remat=remat,
+                critic_apply_gp=critic_apply_gp,
             )
         # validation always evaluates the canonical flax module on the
         # standard [B, L, 2] eval pipeline, so flat-step runs stay directly

@@ -156,8 +156,15 @@ def build_train_step(
     critic_unroll: int = 1,
     critic_apply_gp: Callable | None = None,
     remat: bool = False,
+    outer_unroll: int = 1,
 ) -> Callable[[TrainState, jax.Array], Tuple[TrainState, dict]]:
     """Build the (unjitted) fused outer step ``(state, key) -> (state, metrics)``.
+
+    ``outer_unroll`` unrolls the outer ``scan_steps`` scan (pure codegen,
+    identical numerics): adjacent training steps' datagen is data-independent,
+    so unrolling exposes it to XLA's scheduler to overlap with the previous
+    step's serial update chain — the right kind of lever for a step measured
+    at ~2 µs/iteration on chip (op-issue-bound, results/r3_perf_queue.jsonl).
 
     ``remat=True`` wraps the generator/critic applies in ``jax.checkpoint``:
     backward passes recompute forward activations instead of loading them
@@ -327,7 +334,8 @@ def build_train_step(
             if scan_steps == 1:
                 return one_step(state, key)
             keys = jax.random.split(key, scan_steps)
-            state, metrics = jax.lax.scan(one_step, state, keys)
+            state, metrics = jax.lax.scan(one_step, state, keys,
+                                          unroll=outer_unroll)
             return state, jax.tree_util.tree_map(lambda x: x[-1], metrics)
 
     return step_fn
@@ -352,6 +360,7 @@ def make_train_step(
     critic_unroll: int = 1,
     critic_apply_gp: Callable | None = None,
     remat: bool = False,
+    outer_unroll: int = 1,
 ) -> Callable[[TrainState, jax.Array], Tuple[TrainState, dict]]:
     """Single-device jitted fused train step (see ``build_train_step``)."""
     step_fn = build_train_step(
@@ -361,6 +370,7 @@ def make_train_step(
         use_pallas_critic=use_pallas_critic, pallas_interpret=pallas_interpret,
         act_dtype=act_dtype, critic_unroll=critic_unroll,
         critic_apply_gp=critic_apply_gp, remat=remat,
+        outer_unroll=outer_unroll,
     )
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 

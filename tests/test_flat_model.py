@@ -8,6 +8,7 @@ train step (the GP's grad-of-grad exercises second-order agreement)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ofdmgan_tpu.models import MiniDiscriminator, MiniGenerator
 from ofdmgan_tpu.models.critic import compute_gradient_penalty
@@ -338,3 +339,44 @@ class TestTrainingParity:
             critic_unroll=5)
         for k in ("d_loss", "g_loss", "rec_loss", "gradient_penalty"):
             assert np.isfinite(float(m[-1][k])), (k, m[-1][k])
+
+
+class TestTrainerTf32x3GpMode:
+    """train.py --flat --mm tf32x3_gp: Trainer builds the bench.py fastest
+    on-chip config (ambient model dots + explicit-tf32x3 GP chain,
+    results/r3_perf_queue.jsonl) so its 500-epoch stability twin runs
+    through the standard trainer."""
+
+    def _config(self):
+        return {
+            "ofdm": {"frame_length": 16, "num_subcarriers": 8,
+                     "cp_length": 2, "modulation": "QPSK"},
+            "training": {"batch_size": 32, "epochs": 1,
+                         "optimizer": {"lr_generator": 1e-4,
+                                       "lr_discriminator": 1e-4}},
+            "logging": {"tensorboard": False},
+        }
+
+    def test_one_epoch_runs_and_learns(self):
+        from ofdmgan_tpu.training.trainer import Trainer
+
+        trainer = Trainer(config=self._config(), samples_per_epoch=64,
+                          data_parallel=1, flat_step=True, mm="tf32x3_gp",
+                          act_dtype="bfloat16", critic_unroll=5,
+                          matmul_precision="bf16_tf32gp")
+        before = jax.device_get(trainer.state.params_g)
+        tm = trainer.train_epoch(0)
+        assert all(np.isfinite(v) for v in tm.values()), tm
+        after = jax.device_get(trainer.state.params_g)
+        diffs = jax.tree_util.tree_map(
+            lambda a, b: float(np.max(np.abs(a - b))), before, after)
+        assert max(jax.tree_util.tree_leaves(diffs)) > 0
+
+    def test_dp_gt1_rejected(self):
+        from ofdmgan_tpu.training.trainer import Trainer
+
+        with pytest.raises(ValueError, match="tf32x3_gp"):
+            Trainer(config=self._config(), samples_per_epoch=64,
+                    data_parallel=8, flat_step=True, mm="tf32x3_gp",
+                    act_dtype="bfloat16",
+                    matmul_precision="bf16_tf32gp")

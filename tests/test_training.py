@@ -58,6 +58,22 @@ class TestTrainStep:
         new_state, _ = step4(state, KEY)
         assert int(new_state.step) == 4
 
+    def test_outer_unroll_identical_numerics(self):
+        """lax.scan unroll is pure codegen: outer_unroll=2 must produce the
+        SAME params/metrics as the rolled scan (bench.py --outer_unroll)."""
+        gen, critic, tx_g, tx_d, state, dg, loss = _setup()
+        kw = dict(batch_size=16, scan_steps=4, donate=False)
+        s1 = make_train_step(gen.apply, critic.apply, tx_g, tx_d, dg, loss, **kw)
+        s2 = make_train_step(gen.apply, critic.apply, tx_g, tx_d, dg, loss,
+                             outer_unroll=2, **kw)
+        n1, m1 = s1(state, KEY)
+        n2, m2 = s2(state, KEY)
+        for a, b in zip(jax.tree_util.tree_leaves(n1.params_g),
+                        jax.tree_util.tree_leaves(n2.params_g)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for k in m1:
+            np.testing.assert_allclose(float(m1[k]), float(m2[k]), rtol=0, atol=0)
+
     def test_loss_decreases_over_training(self):
         # ~60 outer steps at batch 256 should clearly reduce L1 vs the start:
         # the generator at minimum learns to shrink toward the conditional

@@ -142,11 +142,14 @@ def main():
                              "tests/test_flat_model.py). Checkpoints/eval/"
                              "export are unchanged")
     parser.add_argument("--mm", default="ambient",
-                        choices=["ambient", "tf32x3"],
+                        choices=["ambient", "tf32x3", "tf32x3_gp"],
                         help="flat-apply matmul implementation (requires "
                              "--flat): 'tf32x3' pins every model dot to the "
                              "explicit bf16x3 MXU decomposition "
-                             "(models/flat.tf32_matmul)")
+                             "(models/flat.tf32_matmul); 'tf32x3_gp' keeps "
+                             "model dots ambient and pins JUST the gradient-"
+                             "penalty chain to tf32x3 (the bench.py fastest "
+                             "on-chip config)")
     parser.add_argument("--remat", action="store_true",
                         help="jax.checkpoint the model applies inside the "
                              "fused step (recompute activations in backward "
