@@ -6,13 +6,15 @@ penalty + generator update), reference recipe hyperparameters.
 Default configuration (the round-3 headline): flat-layout applies
 (models/flat.py — activations stay [B, F] end-to-end, datagen born flat in
 matmul form), bfloat16 activation storage, single-pass bf16 MXU dots with
-the gradient-penalty chain at tensorfloat32 (`bf16_tf32gp`), critic scan
-unrolled. Every piece of this configuration is validated
-training-stable over the FULL 500-epoch reference recipe, reaching the
-float32 champion's quality on a paired 51,200-frame eval
-(results/RESULTS.md §Round 3, results/stability_evals_r3.json). Plain
-bfloat16 everywhere (GP included) with float32 storage collapses the
-adversarial equilibrium and is not benchmarked.
+the gradient-penalty chain on explicit 2-pass bf16x3 dots (`--mm
+tf32x3_gp` — the fastest measured on-chip config,
+results/r3_perf_queue.jsonl), critic scan unrolled. Every piece of this
+configuration is validated training-stable over the FULL 500-epoch
+reference recipe, reaching the float32 champion's quality on a paired
+51,200-frame eval (results/RESULTS.md §Round 3,
+results/stability_evals_r3.json — incl. the exact tf32x3_gp twin at
+0.12617). Plain bfloat16 everywhere (GP included) with float32 storage
+collapses the adversarial equilibrium and is not benchmarked.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "frames/s/chip", "vs_baseline": N}
@@ -43,8 +45,9 @@ BASELINE_FRAMES_PER_SEC = 50_000_000.0
 # Last value measured on the real chip with this file's methodology, kept
 # here so an infrastructure failure (dead axon tunnel) still leaves the
 # judge a pointer to the recorded number instead of a silent hang.
-LAST_MEASURED_NOTE = ("last real-chip measurement: 3.01e7 frames/s/chip "
-                      "(results/RESULTS.md headline table, round 3)")
+LAST_MEASURED_NOTE = ("last real-chip measurement: 3.25e7 frames/s/chip "
+                      "(--mm tf32x3_gp, results/r3_perf_queue.jsonl; "
+                      "headline table in results/RESULTS.md §Round 3)")
 
 
 def _emit_failure(reason: str, code: int = 2) -> None:
@@ -137,7 +140,7 @@ def main():
                          "default; --no-flat benches the [B, L, 2] module "
                          "path (exact same parameter tree and numerics up to "
                          "dot order, tests/test_flat_model.py)")
-    ap.add_argument("--mm", default="ambient",
+    ap.add_argument("--mm", default="tf32x3_gp",
                     choices=["ambient", "tf32x3", "tf32x3_gp"],
                     help="flat-apply matmul implementation (requires --flat): "
                          "'tf32x3' pins every model dot to the explicit bf16x3 "
@@ -145,6 +148,8 @@ def main():
                          "bf16 activation storage the activation low-half is "
                          "exactly zero, so each dot is 2 MXU passes instead of "
                          "the ambient tensorfloat32 context's 3. 'tf32x3_gp' "
+                         "(default since the round-3 on-chip queue: fastest "
+                         "measured at 3.25e7, 500-epoch stability-validated) "
                          "pins ONLY the gradient-penalty chain's dots to the "
                          "explicit decomposition (W-chain dots follow "
                          "--matmul_precision's ambient context)")
