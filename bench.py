@@ -162,12 +162,25 @@ def main():
     ap.add_argument("--critic_unroll", type=int, default=5,
                     help="unroll factor for the n_critic inner scan "
                          "(pure codegen, identical numerics)")
-    ap.add_argument("--outer_unroll", type=int, default=1,
+    ap.add_argument("--outer_unroll", type=int, default=4,
                     help="unroll factor for the outer scan_steps scan (pure "
                          "codegen, identical numerics): adjacent steps' "
                          "datagen is data-independent, so unrolling lets "
                          "XLA overlap it with the previous step's serial "
-                         "update chain")
+                         "update chain. Default 4 — the fastest measured "
+                         "on-chip config (3.39e7 with --mm tf32x3_gp, "
+                         "results/r3_perf_queue2.jsonl)")
+    ap.add_argument("--prng", default="threefry",
+                    choices=["threefry", "rbg", "unsafe_rbg"],
+                    help="PRNG implementation for the root key. The 4 "
+                         "per-step datagen draws are the largest fusions in "
+                         "the optimized HLO (272-op threefry+Box-Muller at "
+                         "1M elems each, results/hlo_flat_fusions.json); "
+                         "'rbg' keeps threefry key derivation but generates "
+                         "bulk bits with the TPU-native RngBitGenerator "
+                         "instruction; 'unsafe_rbg' also cheapens "
+                         "split/fold_in (identical recipe statistics, "
+                         "different stream)")
     ap.add_argument("--act_dtype", default="bfloat16",
                     choices=["none", "bfloat16", "float8_e4m3fn",
                              "float8_e5m2"],
@@ -222,7 +235,13 @@ def main():
     from ofdmgan_tpu.signal import DatagenConfig
     from ofdmgan_tpu.training import LossConfig, TrainState, make_adam, make_train_step
 
-    key = jax.random.PRNGKey(0)
+    if args.prng == "threefry":
+        key = jax.random.PRNGKey(0)
+    else:
+        # typed key carries the impl; every downstream split/fold_in/draw in
+        # the step inherits it, so bulk bit generation lowers to the
+        # hardware RngBitGenerator instead of 20+ threefry rounds per elem.
+        key = jax.random.key(0, impl=args.prng)
     gen = MiniGenerator(act_dtype=args.act_dtype)
     critic = MiniDiscriminator(act_dtype=args.act_dtype)
     import jax.numpy as jnp

@@ -74,6 +74,7 @@ class Trainer:
         critic_unroll: int = 1,
         remat: bool = False,
         image_chunks: bool = False,
+        prng: str = "threefry",
     ):
         """``generator``/``discriminator`` inject alternative model families
         (e.g. the full 1024-sample U-Net, models/full_unet.py) in place of
@@ -122,7 +123,13 @@ class Trainer:
         self.tx_g = make_adam(self.tp["lr_generator"], self.tp["betas"], decay_g, self.tp["scheduler_gamma"])
         self.tx_d = make_adam(self.tp["lr_discriminator"], self.tp["betas"], decay_d, self.tp["scheduler_gamma"])
 
-        key = jax.random.PRNGKey(seed)
+        # 'rbg'/'unsafe_rbg' swap bulk bit generation onto the TPU-native
+        # RngBitGenerator (the datagen draws are the largest fusions in the
+        # flat step's optimized HLO, results/hlo_flat_fusions.json); the
+        # typed key carries the impl to every downstream split/fold_in/draw.
+        self._prng = prng
+        key = (jax.random.PRNGKey(seed) if prng == "threefry"
+               else jax.random.key(seed, impl=prng))
         x0 = np.zeros((1, frame_length, 2), np.float32)
         params_g = self.generator.init(key, x0)
         params_d = self.discriminator.init(key, x0, x0)
@@ -309,7 +316,8 @@ class Trainer:
         self.current_epoch = 0
         self.best_val_loss = float("inf")
         self.logger: Optional[MetricsLogger] = None
-        self._key = jax.random.PRNGKey(seed + 1)
+        self._key = (jax.random.PRNGKey(seed + 1) if prng == "threefry"
+                     else jax.random.key(seed + 1, impl=prng))
         self._ckptr = ocp.PyTreeCheckpointer()
         # failure detection (SURVEY.md §5.3 role): what to do when training
         # metrics go non-finite. "restore_best" reloads the best checkpoint

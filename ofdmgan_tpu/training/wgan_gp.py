@@ -334,9 +334,24 @@ def build_train_step(
             if scan_steps == 1:
                 return one_step(state, key)
             keys = jax.random.split(key, scan_steps)
-            state, metrics = jax.lax.scan(one_step, state, keys,
-                                          unroll=outer_unroll)
-            return state, jax.tree_util.tree_map(lambda x: x[-1], metrics)
+
+            # only the LAST step's metrics are reported (reference
+            # train.py prints the tail of each epoch's losses), so carry
+            # them through the scan instead of stacking per-step ys —
+            # stacking costs one dynamic-update-slice per metric per
+            # iteration on an op-issue-bound step.
+            def body(carry, k):
+                st, _ = carry
+                st, m = one_step(st, k)
+                return (st, m), None
+
+            m0 = jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype),
+                jax.eval_shape(one_step, state, keys[0])[1],
+            )
+            (state, metrics), _ = jax.lax.scan(body, (state, m0), keys,
+                                               unroll=outer_unroll)
+            return state, metrics
 
     return step_fn
 

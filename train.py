@@ -158,6 +158,13 @@ def main():
     parser.add_argument("--critic_unroll", type=int, default=1,
                         help="unroll factor for the n_critic inner scan "
                              "(pure codegen, identical numerics)")
+    parser.add_argument("--prng", default="threefry",
+                        choices=["threefry", "rbg", "unsafe_rbg"],
+                        help="PRNG implementation: 'rbg'/'unsafe_rbg' "
+                             "generate bulk bits with the TPU-native "
+                             "RngBitGenerator instead of 20+ threefry "
+                             "rounds per element (same recipe statistics, "
+                             "different stream — see bench.py --prng)")
     parser.add_argument("--quant_bits", type=int, nargs=2, default=None,
                         metavar=("WEIGHT_BITS", "ACT_BITS"),
                         help="full model only: quantization-aware training "
@@ -302,6 +309,7 @@ def main():
         mm=args.mm,
         critic_unroll=args.critic_unroll,
         remat=args.remat,
+        prng=args.prng,
     )
     from ofdmgan_tpu.models import count_parameters
 
