@@ -45,9 +45,10 @@ BASELINE_FRAMES_PER_SEC = 50_000_000.0
 # Last value measured on the real chip with this file's methodology, kept
 # here so an infrastructure failure (dead axon tunnel) still leaves the
 # judge a pointer to the recorded number instead of a silent hang.
-LAST_MEASURED_NOTE = ("last real-chip measurement: 3.25e7 frames/s/chip "
-                      "(--mm tf32x3_gp, results/r3_perf_queue.jsonl; "
-                      "headline table in results/RESULTS.md §Round 3)")
+LAST_MEASURED_NOTE = ("last real-chip measurement: 3.80e7 frames/s/chip "
+                      "(--mm tf32x3_gp --outer_unroll 4 --scan_steps 1024, "
+                      "results/r3_perf_queue5.jsonl; headline table in "
+                      "results/RESULTS.md §Round 3)")
 
 
 def _emit_failure(reason: str, code: int = 2) -> None:
@@ -128,7 +129,13 @@ def main():
                          "exact-parity with the unpacked step "
                          "(tests/test_packed_step.py)")
     ap.add_argument("--batch", type=int, default=65_536)
-    ap.add_argument("--scan_steps", type=int, default=128)
+    ap.add_argument("--scan_steps", type=int, default=1024,
+                    help="training steps per jitted dispatch. The xprof op "
+                         "table (results/op_table_r3_headline.json) shows "
+                         "the core 100%% busy within a window but ~35 ms of "
+                         "per-dispatch tunnel overhead between windows; at "
+                         "1024 the measurement reaches 98%% of the "
+                         "device-busy bound (results/r3_perf_queue5.jsonl)")
     ap.add_argument("--flat", action=argparse.BooleanOptionalAction,
                     default=True,
                     help="flat-layout applies (models/flat.py): activations "
@@ -181,6 +188,24 @@ def main():
                          "instruction; 'unsafe_rbg' also cheapens "
                          "split/fold_in (identical recipe statistics, "
                          "different stream)")
+    ap.add_argument("--fuse_realfake", action="store_true",
+                    help="one critic apply on the stacked [2B] real+fake "
+                         "candidates instead of two [B] applies in the "
+                         "W-chain (per-example scores identical; the "
+                         "parameter gradient's batch reduction "
+                         "reassociates at ulp level). MEASURED LOSS on "
+                         "chip: 3.03e7 vs 3.76e7 — the [2B, F] tensors "
+                         "fall out of VMEM, the same cliff as batch "
+                         "131072 (results/r3_perf_queue5.jsonl)")
+    ap.add_argument("--conv_expand", default="dus",
+                    choices=["dus", "onehot"],
+                    help="Toeplitz expansion impl in ops/dense_conv.py: "
+                         "'dus' is the .at[].add() chain whose autodiff "
+                         "transpose is a scatter-add (9.3%% of device "
+                         "time, results/op_table_r3_headline.json); "
+                         "'onehot' is one fused multiply-reduce against "
+                         "a constant 0/1 placement tensor — bit-exact "
+                         "same matrix, no scatter in the backward")
     ap.add_argument("--act_dtype", default="bfloat16",
                     choices=["none", "bfloat16", "float8_e4m3fn",
                              "float8_e5m2"],
@@ -206,6 +231,11 @@ def main():
     ap.add_argument("--watchdog", type=int, default=1800, metavar="S",
                     help="hard wall-clock bound; on expiry print an "
                          "error JSON line instead of hanging (0 disables)")
+    ap.add_argument("--profile_dir", default=None, metavar="DIR",
+                    help="capture a JAX profiler (xprof) trace of one "
+                         "steady-state window into DIR after warmup; parse "
+                         "with scripts/xprof_op_table.py to get the "
+                         "per-op device-time attribution")
     ap.add_argument("--platform", default=None, choices=["axon", "cpu"],
                     help="force a jax platform (the session default is the "
                          "axon TPU backend; 'cpu' is for smoke-testing the "
@@ -231,6 +261,10 @@ def main():
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 
+    if args.conv_expand != "dus":
+        from ofdmgan_tpu.ops import dense_conv
+        dense_conv.CONV_EXPAND = args.conv_expand
+
     from ofdmgan_tpu.models import MiniDiscriminator, MiniGenerator
     from ofdmgan_tpu.signal import DatagenConfig
     from ofdmgan_tpu.training import LossConfig, TrainState, make_adam, make_train_step
@@ -249,9 +283,12 @@ def main():
     tx_g, tx_d = make_adam(2e-4), make_adam(2e-4)
     state = TrainState.create(gen.init(key, x0), critic.init(key, x0, x0), tx_g, tx_d)
 
-    # batch 65536 is the measured throughput-optimal point on v5e (sweep in
-    # results/RESULTS.md); scan_steps=128 makes one dispatch ~0.8 s of device
-    # time so tunnel latency is noise.
+    # batch 65536 is the measured throughput-optimal point on v5e (round-2
+    # sweep in results/RESULTS.md, re-confirmed in both directions at the
+    # round-3 config: 32k/128k/256k/512k all lose, r3_perf_queue4.jsonl —
+    # above 65536 the working set falls out of VMEM); scan_steps=1024 makes
+    # one dispatch ~1.7 s of device time so the ~35 ms per-dispatch tunnel
+    # overhead is <2% (the amortization curve is r3_perf_queue5.jsonl).
     batch, scan_steps = args.batch, args.scan_steps
     dg = DatagenConfig.make(frame_length=16, snr_range=(0, 30))
     loss_cfg = LossConfig()  # n_critic=5, gp 10, rec 100 — the reference recipe
@@ -302,6 +339,7 @@ def main():
                 critic_unroll=args.critic_unroll,
                 critic_apply_gp=critic_apply_gp, remat=args.remat,
                 outer_unroll=args.outer_unroll,
+                fuse_realfake=args.fuse_realfake,
             ),
             donate_argnums=0,
         )
@@ -319,6 +357,13 @@ def main():
     # steady-state dispatch intervals long)
     for w in range(3):
         state, _ = timed_window(state, 1000 + w)
+
+    if args.profile_dir:
+        # one steady-state window under the profiler: the trace contains
+        # scan_steps full training steps, plenty for stable per-op stats
+        jax.profiler.start_trace(args.profile_dir)
+        state, _ = timed_window(state, 1500)
+        jax.profiler.stop_trace()
 
     windows = []
     for w in range(5):

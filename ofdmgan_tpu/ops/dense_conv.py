@@ -27,6 +27,45 @@ def conv1d_output_length(l_in: int, kernel: int, stride: int, padding: int) -> i
     return (l_in + 2 * padding - kernel) // stride + 1
 
 
+# How conv1d_dense_matrix builds the Toeplitz expansion:
+#   "dus"    — chain of .at[].add() dynamic-update-slices (the original).
+#              On-chip profiling of the fused train step
+#              (results/op_table_r3_headline.json) attributes 11.4% of
+#              device time to this line: the forward DUS chains rebuild
+#              per apply, and their autodiff TRANSPOSE is a scatter-add
+#              per tap-block (9.3% of the step is dynamic-update-slice).
+#   "onehot" — one broadcast-multiply-reduce against a constant 0/1
+#              placement tensor P[k, t_in, t_out]:
+#              A[(a,i),(b,o)] = sum_k w[k,i,o] * P[k,a,b].
+#              Exactly one P entry is nonzero per (a,b) (kk = t_in -
+#              stride*t_out + padding is unique), so the f32 result is
+#              BIT-EXACT vs "dus" (adding 0.0 terms is exact); kept on
+#              the VPU deliberately — an MXU dot would round the f32
+#              weights to bf16 operands. The backward w.r.t. w is a
+#              fused reduce over (a,b) — no scatter-add.
+# NOT the queue-3 gather rewrite (results/r3_perf_queue3.jsonl): that
+# replaced the forward expansion with a gather of an index map, which
+# lowers badly on TPU; this keeps forward AND backward as dense fused
+# elementwise ops. Module-level switch so bench.py/train.py can flip the
+# whole model family at once.
+CONV_EXPAND = "dus"
+
+
+@functools.lru_cache(maxsize=None)
+def _placement_np(k: int, l_in: int, l_out: int, stride: int, padding: int):
+    """Constant 0/1 placement tensor [k, l_in, l_out] (numpy — cache numpy
+    and convert at use: caching jnp arrays leaks tracers if first called
+    inside a trace, see CLAUDE.md)."""
+    import numpy as np
+    p = np.zeros((k, l_in, l_out), np.float32)
+    for t_out in range(l_out):
+        for kk in range(k):
+            t_in = stride * t_out - padding + kk
+            if 0 <= t_in < l_in:
+                p[kk, t_in, t_out] = 1.0
+    return p
+
+
 def conv1d_dense_matrix(w: jnp.ndarray, l_in: int, stride: int, padding: int) -> jnp.ndarray:
     """Expand a conv kernel ``[K, C_in, C_out]`` into the equivalent dense
     matrix ``[L_in*C_in, L_out*C_out]`` for zero-padded strided conv1d.
@@ -35,6 +74,12 @@ def conv1d_dense_matrix(w: jnp.ndarray, l_in: int, stride: int, padding: int) ->
     """
     k, cin, cout = w.shape
     l_out = conv1d_output_length(l_in, k, stride, padding)
+    if CONV_EXPAND == "onehot":
+        p = jnp.asarray(_placement_np(k, l_in, l_out, stride, padding),
+                        w.dtype)
+        # [k,1,cin,1,cout] * [k,l_in,1,l_out,1] -> sum_k -> [l_in,cin,l_out,cout]
+        a = (w[:, None, :, None, :] * p[:, :, None, :, None]).sum(0)
+        return a.reshape(l_in * cin, l_out * cout)
     a = jnp.zeros((l_in * cin, l_out * cout), dtype=w.dtype)
     for t_out in range(l_out):
         for kk in range(k):

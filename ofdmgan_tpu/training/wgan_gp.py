@@ -74,6 +74,7 @@ def critic_loss_fn(
     cfg: LossConfig,
     gp_precision: str | None = None,
     critic_apply_gp: Callable | None = None,
+    fuse_realfake: bool = False,
 ):
     """L_D = E[D(fake)] - E[D(real)] + λ·GP (train.py:219-253).
 
@@ -93,8 +94,21 @@ def critic_loss_fn(
     # store the (non-differentiated) fake in the batch's storage dtype so a
     # bf16-storage step keeps every critic input half-width (no-op for f32)
     fake = jax.lax.stop_gradient(gen_apply(params_g, noisy)).astype(noisy.dtype)
-    d_real = critic_apply(params_d, clean, noisy)
-    d_fake = critic_apply(params_d, fake, noisy)
+    if fuse_realfake:
+        # one critic apply on the stacked [2B] candidates instead of two on
+        # [B]: halves the W-chain's dot-issue count (each row's MXU
+        # accumulation is independent, so per-example scores are identical;
+        # the parameter gradient's batch reduction reassociates at ulp
+        # level — same tolerance class as remat). The GP chain below stays
+        # separate: its dots are pinned to a different implementation.
+        n = clean.shape[0]
+        d_all = critic_apply(params_d,
+                             jnp.concatenate([clean, fake], 0),
+                             jnp.concatenate([noisy, noisy], 0))
+        d_real, d_fake = d_all[:n], d_all[n:]
+    else:
+        d_real = critic_apply(params_d, clean, noisy)
+        d_fake = critic_apply(params_d, fake, noisy)
     wasserstein = jnp.mean(d_fake) - jnp.mean(d_real)
     if critic_apply_gp is not None:
         gp = compute_gradient_penalty(critic_apply_gp, params_d, clean, fake, noisy, key)
@@ -157,6 +171,7 @@ def build_train_step(
     critic_apply_gp: Callable | None = None,
     remat: bool = False,
     outer_unroll: int = 1,
+    fuse_realfake: bool = False,
 ) -> Callable[[TrainState, jax.Array], Tuple[TrainState, dict]]:
     """Build the (unjitted) fused outer step ``(state, key) -> (state, metrics)``.
 
@@ -294,7 +309,7 @@ def build_train_step(
             else:
                 (loss, aux), grads = jax.value_and_grad(critic_loss_fn, has_aux=True)(
                     params_d, state.params_g, gen_apply, critic_apply, batch, k_gp,
-                    loss_cfg, gp_precision, critic_apply_gp
+                    loss_cfg, gp_precision, critic_apply_gp, fuse_realfake
                 )
             grads, aux = reduce_tree((grads, aux))
             updates, opt_d = tx_d.update(grads, opt_d, params_d)
@@ -376,6 +391,7 @@ def make_train_step(
     critic_apply_gp: Callable | None = None,
     remat: bool = False,
     outer_unroll: int = 1,
+    fuse_realfake: bool = False,
 ) -> Callable[[TrainState, jax.Array], Tuple[TrainState, dict]]:
     """Single-device jitted fused train step (see ``build_train_step``)."""
     step_fn = build_train_step(
@@ -385,7 +401,7 @@ def make_train_step(
         use_pallas_critic=use_pallas_critic, pallas_interpret=pallas_interpret,
         act_dtype=act_dtype, critic_unroll=critic_unroll,
         critic_apply_gp=critic_apply_gp, remat=remat,
-        outer_unroll=outer_unroll,
+        outer_unroll=outer_unroll, fuse_realfake=fuse_realfake,
     )
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 

@@ -51,6 +51,49 @@ class TestDenseConvLowering:
         g = jax.grad(f)(w)
         assert float(jnp.abs(g).sum()) > 0
 
+    @pytest.mark.parametrize("l,cin,cout,k,s,p", [
+        (16, 2, 4, 3, 2, 1),
+        (8, 4, 8, 3, 2, 1),
+        (8, 8, 4, 3, 1, 1),
+        (16, 4, 2, 3, 1, 1),
+        (16, 4, 2, 1, 1, 0),
+        (12, 3, 5, 5, 2, 2),
+    ])
+    def test_onehot_expansion_bit_exact(self, l, cin, cout, k, s, p):
+        """The 'onehot' Toeplitz expansion (constant 0/1 placement tensor,
+        no scatter-add in the backward — the scatter is 9.3% of on-chip
+        step time, results/op_table_r3_headline.json) must be BIT-exact
+        vs the 'dus' chain: each output cell has exactly one nonzero
+        placement, so the multiply-reduce sums one real term + exact
+        zeros. Gradients (incl. second order, which the GP chain needs)
+        must match to f32 reduction-order tolerance."""
+        from ofdmgan_tpu.ops import dense_conv
+
+        kw = jax.random.split(KEY, 2)[0]
+        w = jax.random.normal(kw, (k, cin, cout))
+
+        def expand(w_, impl):
+            old = dense_conv.CONV_EXPAND
+            dense_conv.CONV_EXPAND = impl
+            try:
+                return dense_conv.conv1d_dense_matrix(w_, l, s, p)
+            finally:
+                dense_conv.CONV_EXPAND = old
+
+        a_dus = expand(w, "dus")
+        a_oh = expand(w, "onehot")
+        np.testing.assert_array_equal(np.asarray(a_dus), np.asarray(a_oh))
+
+        g = lambda impl: jax.grad(
+            lambda w_: jnp.sum(jnp.tanh(expand(w_, impl)) ** 2))(w)
+        np.testing.assert_allclose(np.asarray(g("dus")),
+                                   np.asarray(g("onehot")), rtol=1e-6)
+
+        gg = lambda impl: jax.grad(lambda w_: jnp.sum(jax.grad(
+            lambda v: jnp.sum(jnp.tanh(expand(v, impl)) ** 2))(w_) ** 2))(w)
+        np.testing.assert_allclose(np.asarray(gg("dus")),
+                                   np.asarray(gg("onehot")), rtol=1e-6)
+
     def test_upsample(self):
         x = jnp.arange(6, dtype=jnp.float32).reshape(1, 3, 2)
         y = upsample_nearest_2x(x)

@@ -165,6 +165,14 @@ def main():
                              "RngBitGenerator instead of 20+ threefry "
                              "rounds per element (same recipe statistics, "
                              "different stream — see bench.py --prng)")
+    parser.add_argument("--conv_expand", default="dus",
+                        choices=["dus", "onehot"],
+                        help="Toeplitz expansion impl (ops/dense_conv.py): "
+                             "'onehot' replaces the .at[].add() chain + "
+                             "backward scatter-add with one fused "
+                             "multiply-reduce against a constant 0/1 "
+                             "placement tensor — bit-exact same dense "
+                             "matrix (see bench.py --conv_expand)")
     parser.add_argument("--quant_bits", type=int, nargs=2, default=None,
                         metavar=("WEIGHT_BITS", "ACT_BITS"),
                         help="full model only: quantization-aware training "
@@ -286,6 +294,10 @@ def main():
         discriminator = FullDiscriminator(frame_length=fl, levels=levels, base_channels=base)
     elif args.quant_bits:
         raise SystemExit("--quant_bits applies to the full model (mini QAT is --qat/--rtl_qat)")
+
+    if args.conv_expand != "dus":
+        from ofdmgan_tpu.ops import dense_conv
+        dense_conv.CONV_EXPAND = args.conv_expand
 
     trainer = Trainer(
         config=config,
