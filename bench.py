@@ -231,6 +231,13 @@ def main():
     ap.add_argument("--watchdog", type=int, default=1800, metavar="S",
                     help="hard wall-clock bound; on expiry print an "
                          "error JSON line instead of hanging (0 disables)")
+    ap.add_argument("--compiler_opts", default=None, metavar="K=V[,K=V...]",
+                    help="extra XLA compiler options passed via "
+                         "jax.jit(compiler_options=...) — these travel "
+                         "with the remote compile request (client-side "
+                         "XLA_FLAGS do NOT reach the axon compile "
+                         "server), e.g. xla_tpu_scoped_vmem_limit_kib="
+                         "65536")
     ap.add_argument("--profile_dir", default=None, metavar="DIR",
                     help="capture a JAX profiler (xprof) trace of one "
                          "steady-state window into DIR after warmup; parse "
@@ -250,6 +257,11 @@ def main():
     if args.packed and args.remat:
         ap.error("--remat applies to the standard step builder; the packed "
                  "step has no remat wiring")
+
+    compiler_options = None
+    if args.compiler_opts:
+        compiler_options = dict(kv.split("=", 1)
+                                for kv in args.compiler_opts.split(","))
 
     if args.platform != "cpu":
         _guard_axon_tunnel()
@@ -302,6 +314,7 @@ def main():
                 act_dtype=args.act_dtype, critic_unroll=args.critic_unroll,
             ),
             donate_argnums=0,
+            compiler_options=compiler_options,
         )
     else:
         gen_apply, critic_apply, batch_fn = gen.apply, critic.apply, None
@@ -342,6 +355,7 @@ def main():
                 fuse_realfake=args.fuse_realfake,
             ),
             donate_argnums=0,
+            compiler_options=compiler_options,
         )
 
     def timed_window(state, seed):

@@ -1,0 +1,134 @@
+#!/usr/bin/env python3
+"""Inference (serving) throughput benchmark: generator forward only.
+
+The reference's deployment story tops out at ~100,000 frames/s estimated
+for its FPGA RTL datapath (reference docs/MATH_FOUNDATION.md, mirrored in
+docs/math_foundation.py:320). This measures the TPU serving path for both
+model families:
+
+  * mini  — the 258-param 16-sample generator, flat [B, F] apply
+            (models/flat.py), bfloat16 activations;
+  * full  — the 3.94M-param 1024-sample 5-level U-Net
+            (models/full_unet.py), the production-scale model.
+
+Methodology matches bench.py (the round-2 rewrite): each timed window is
+ONE jitted dispatch running ``scan_steps`` chained applies via lax.scan
+(each iteration feeds on-device datagen output through the generator), and
+every window ends with a device_get of a scalar that depends on the last
+apply — the hard sync that the remote axon backend requires for honest
+timing. Median of 5 windows after 3 warmup windows.
+
+Prints one JSON line per model:
+  {"metric": "generator_inference_frames_per_sec_per_chip",
+   "model": ..., "value": N, "unit": "frames/s/chip",
+   "vs_reference_fpga": N}   # reference's own serving estimate = 1e5
+"""
+
+import argparse
+import json
+import time
+
+REFERENCE_FPGA_FRAMES_PER_SEC = 100_000.0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--models", default="mini,full",
+                    help="comma list: mini, full")
+    ap.add_argument("--batch", type=int, default=65_536,
+                    help="mini batch per apply (full uses batch//64: the "
+                         "1024-sample frame is 64x the mini frame)")
+    ap.add_argument("--scan_steps", type=int, default=256)
+    ap.add_argument("--act_dtype", default="bfloat16")
+    ap.add_argument("--platform", default=None, choices=["axon", "cpu"])
+    args = ap.parse_args()
+
+    import bench as _bench
+    if args.platform != "cpu":
+        _bench._guard_axon_tunnel()
+    _bench._arm_watchdog(1800)
+
+    import jax
+    import jax.numpy as jnp
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    key = jax.random.PRNGKey(0)
+    results = []
+
+    def measure(apply_fn, params, make_input, batch, scan_steps, model_name):
+        def body(carry, k):
+            x = make_input(k, batch)
+            y = apply_fn(params, x)
+            # carry a scalar that depends on y so the chain can't be elided
+            return carry + y.ravel()[0].astype(jnp.float32), None
+
+        @jax.jit
+        def window(k):
+            keys = jax.random.split(k, scan_steps)
+            acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), keys)
+            return acc
+
+        def timed(seed):
+            t0 = time.perf_counter()
+            acc = float(jax.device_get(window(jax.random.fold_in(key, seed))))
+            dt = time.perf_counter() - t0
+            assert acc == acc, "non-finite output"
+            return scan_steps * batch / dt
+
+        for w in range(3):
+            timed(100 + w)
+        xs = sorted(timed(200 + w) for w in range(5))
+        fps = xs[len(xs) // 2]
+        results.append({
+            "metric": "generator_inference_frames_per_sec_per_chip",
+            "model": model_name,
+            "value": round(fps, 1),
+            "unit": "frames/s/chip",
+            "vs_reference_fpga": round(fps / REFERENCE_FPGA_FRAMES_PER_SEC, 1),
+        })
+
+    wanted = set(args.models.split(","))
+
+    if "mini" in wanted:
+        from ofdmgan_tpu.models import MiniGenerator
+        from ofdmgan_tpu.models.flat import make_generator_flat_apply
+        from ofdmgan_tpu.signal import DatagenConfig
+        from ofdmgan_tpu.signal.datagen import synthetic_batch_flat
+
+        gen = MiniGenerator(act_dtype=args.act_dtype)
+        params = gen.init(key, jnp.zeros((1, 16, 2), jnp.float32))
+        apply_fn = make_generator_flat_apply(act_dtype=args.act_dtype)
+        dg = DatagenConfig.make(frame_length=16, snr_range=(0, 30))
+
+        def make_input(k, n):
+            return synthetic_batch_flat(k, n, dg)["noisy"].astype(
+                args.act_dtype)
+
+        measure(apply_fn, params, make_input, args.batch, args.scan_steps,
+                "mini_flat_258p_L16")
+
+    if "full" in wanted:
+        from ofdmgan_tpu.models.full_unet import FullUNetGenerator
+        from ofdmgan_tpu.signal import DatagenConfig
+        from ofdmgan_tpu.signal.datagen import synthetic_batch
+
+        full = FullUNetGenerator()
+        fb = max(args.batch // 64, 1)
+        params = full.init(key, jnp.zeros((1, 1024, 2), jnp.float32))
+        dg = DatagenConfig.make(frame_length=1024, snr_range=(0, 30))
+
+        def make_input_full(k, n):
+            return synthetic_batch(k, n, dg)["noisy"]
+
+        with jax.default_matmul_precision("bfloat16"):
+            measure(full.apply, params, make_input_full, fb,
+                    max(args.scan_steps // 8, 8), "full_unet_3.94Mp_L1024")
+
+    for r in results:
+        print(json.dumps(r))
+
+
+if __name__ == "__main__":
+    main()
