@@ -9,7 +9,19 @@ model families:
   * mini  — the 258-param 16-sample generator, flat [B, F] apply
             (models/flat.py), bfloat16 activations;
   * full  — the 3.94M-param 1024-sample 5-level U-Net
-            (models/full_unet.py), the production-scale model.
+            (models/full_unet.py), the production-scale model, served
+            through the fused-decoder forward (models/unet_infer.py:
+            nearest-upsample folded into the following conv as two k=2
+            half-kernels, bfloat16 params/activations) — accuracy of that
+            exact path is validated by `scripts/eval_checkpoint.py
+            --serving` (results/RESULTS.md §Serving).
+
+Note on int8: a real-int8 serving path was probed and rejected — on this
+chip XLA's int8 dot_general sustains only ~6% more than bf16 (54.7 vs
+51.5 TOPS on chained [32768,512]x[512,512] dots, /tmp probe recorded in
+results/RESULTS.md §Serving), so int8 execution buys nothing over bf16
+while costing accuracy; the int8 EXPORT path (quant/export.py) remains
+the hardware-deployment artifact.
 
 Methodology matches bench.py (the round-2 rewrite): each timed window is
 ONE jitted dispatch running ``scan_steps`` chained applies via lax.scan
@@ -40,6 +52,10 @@ def main():
                          "1024-sample frame is 64x the mini frame)")
     ap.add_argument("--scan_steps", type=int, default=256)
     ap.add_argument("--act_dtype", default="bfloat16")
+    ap.add_argument("--unfused", action="store_true",
+                    help="full model: use the training-topology decoder "
+                         "(materialized upsample + k=3 conv) instead of the "
+                         "fused k=2-pair serving decoder (A/B baseline)")
     ap.add_argument("--platform", default=None, choices=["axon", "cpu"])
     args = ap.parse_args()
 
@@ -111,20 +127,26 @@ def main():
 
     if "full" in wanted:
         from ofdmgan_tpu.models.full_unet import FullUNetGenerator
+        from ofdmgan_tpu.models.unet_infer import make_unet_infer_apply
         from ofdmgan_tpu.signal import DatagenConfig
         from ofdmgan_tpu.signal.datagen import synthetic_batch
 
         full = FullUNetGenerator()
-        fb = max(args.batch // 64, 1)
+        # B=512 is the measured VMEM sweet spot for the fused serving
+        # forward (results/bench_infer_r3.json sweep); bigger loses.
+        fb = min(max(args.batch // 64, 1), 512)
         params = full.init(key, jnp.zeros((1, 1024, 2), jnp.float32))
+        params = jax.tree.map(lambda p: p.astype(args.act_dtype), params)
+        apply_full = make_unet_infer_apply(
+            act_dtype=args.act_dtype, fused_decoder=not args.unfused)
         dg = DatagenConfig.make(frame_length=1024, snr_range=(0, 30))
 
         def make_input_full(k, n):
             return synthetic_batch(k, n, dg)["noisy"]
 
         with jax.default_matmul_precision("bfloat16"):
-            measure(full.apply, params, make_input_full, fb,
-                    max(args.scan_steps // 8, 8), "full_unet_3.94Mp_L1024")
+            measure(apply_full, params, make_input_full, fb,
+                    max(args.scan_steps // 2, 8), "full_unet_3.94Mp_L1024")
 
     for r in results:
         print(json.dumps(r))

@@ -65,6 +65,12 @@ def main():
                     help="evaluate the Q1.7/Q8.8 INTEGER datapath "
                          "(quant/intsim.py) instead of the float model "
                          "(mini only) — the deployed-hardware function")
+    ap.add_argument("--serving", action="store_true",
+                    help="full model only: evaluate the SERVING forward "
+                         "(models/unet_infer.py — fused upsample+conv "
+                         "decoder, bfloat16 params/activations) instead of "
+                         "the training forward, validating the deployed "
+                         "TPU inference path's accuracy")
     ap.add_argument("--quant_bits", type=int, nargs=2, default=None,
                     metavar=("WEIGHT_BITS", "ACT_BITS"),
                     help="full model only: evaluate the quantization-"
@@ -148,6 +154,20 @@ def main():
             return intsim.q88_to_float(yq)
 
         eval_sweep = make_sweep(int_apply)
+    elif args.serving:
+        if args.model != "full" or args.quant_bits:
+            ap.error("--serving is the full model's float serving path "
+                     "(mini serving uses the flat apply; quantized eval "
+                     "uses --quant_bits)")
+        from ofdmgan_tpu.models.unet_infer import make_unet_infer_apply
+
+        serving_apply = make_unet_infer_apply()
+
+        def serve_apply(params, noisy):
+            p16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+            return serving_apply(p16, noisy).astype(jnp.float32)
+
+        eval_sweep = make_sweep(serve_apply)
     else:
         eval_sweep = make_sweep(gen.apply)
 
