@@ -52,6 +52,17 @@ def main():
                          "1024-sample frame is 64x the mini frame)")
     ap.add_argument("--scan_steps", type=int, default=256)
     ap.add_argument("--act_dtype", default="bfloat16")
+    ap.add_argument("--resident", action="store_true",
+                    help="bench on a PRE-GENERATED device-resident input "
+                         "batch (the real serving shape: frames arrive in "
+                         "HBM) instead of regenerating frames with the "
+                         "on-device OFDM datagen inside the timed loop. "
+                         "The default datagen-in-loop numbers are the "
+                         "conservative bound; for the mini model the loop "
+                         "is ~90% datagen, so --resident is the honest "
+                         "pure-inference figure. A carry-dependent "
+                         "epsilon-add keeps the chained applies "
+                         "loop-variant (un-hoistable).")
     ap.add_argument("--unfused", action="store_true",
                     help="full model: use the training-topology decoder "
                          "(materialized upsample + k=3 conv) instead of the "
@@ -74,17 +85,36 @@ def main():
     results = []
 
     def measure(apply_fn, params, make_input, batch, scan_steps, model_name):
-        def body(carry, k):
-            x = make_input(k, batch)
-            y = apply_fn(params, x)
-            # carry a scalar that depends on y so the chain can't be elided
-            return carry + y.ravel()[0].astype(jnp.float32), None
+        if args.resident:
+            base = jax.block_until_ready(jax.jit(
+                make_input, static_argnums=1)(jax.random.fold_in(key, 999),
+                                              batch))
 
-        @jax.jit
-        def window(k):
-            keys = jax.random.split(k, scan_steps)
-            acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), keys)
-            return acc
+            def body(carry, _):
+                # epsilon-add of the carry keeps each apply dependent on the
+                # previous one (loop-variant: XLA cannot hoist or elide it);
+                # one VPU add over the input, negligible vs the apply.
+                x = base + (carry * jnp.asarray(1e-12, base.dtype))
+                y = apply_fn(params, x)
+                return y.ravel()[0].astype(base.dtype), None
+
+            @jax.jit
+            def window(k):
+                acc, _ = jax.lax.scan(
+                    body, jnp.zeros((), base.dtype), None, length=scan_steps)
+                return acc.astype(jnp.float32)
+        else:
+            def body(carry, k):
+                x = make_input(k, batch)
+                y = apply_fn(params, x)
+                # carry a scalar that depends on y so the chain can't be elided
+                return carry + y.ravel()[0].astype(jnp.float32), None
+
+            @jax.jit
+            def window(k):
+                keys = jax.random.split(k, scan_steps)
+                acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), keys)
+                return acc
 
         def timed(seed):
             t0 = time.perf_counter()
@@ -102,6 +132,7 @@ def main():
             "model": model_name,
             "value": round(fps, 1),
             "unit": "frames/s/chip",
+            "input": "resident" if args.resident else "datagen_in_loop",
             "vs_reference_fpga": round(fps / REFERENCE_FPGA_FRAMES_PER_SEC, 1),
         })
 
