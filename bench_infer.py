@@ -67,6 +67,10 @@ def main():
                     help="full model: use the training-topology decoder "
                          "(materialized upsample + k=3 conv) instead of the "
                          "fused k=2-pair serving decoder (A/B baseline)")
+    ap.add_argument("--profile_dir", default=None, metavar="DIR",
+                    help="capture a JAX profiler (xprof) trace of one "
+                         "steady-state window per model (aggregate with "
+                         "scripts/xprof_op_table.py)")
     ap.add_argument("--platform", default=None, choices=["axon", "cpu"])
     args = ap.parse_args()
 
@@ -127,6 +131,10 @@ def main():
             timed(100 + w)
         xs = sorted(timed(200 + w) for w in range(5))
         fps = xs[len(xs) // 2]
+        if args.profile_dir:
+            jax.profiler.start_trace(f"{args.profile_dir}/{model_name}")
+            timed(300)
+            jax.profiler.stop_trace()
         results.append({
             "metric": "generator_inference_frames_per_sec_per_chip",
             "model": model_name,

@@ -4,8 +4,9 @@ The training-time decoder (models/full_unet.py:125-131, mirroring the
 reference's export topology, reference export/generator/metadata.json)
 materializes a nearest-neighbor 2x upsample and then runs a k=3 conv over
 the doubled length. On TPU that upsample shows up as a *broadcast* HLO
-moving the full [B, 2L, C] activation through HBM (8.6% of the measured
-serving step, results/op_table_serve_bf16.json), and the k=3 conv on the
+moving the full [B, 2L, C] activation through HBM (4.4% of the measured
+serving step at the batch-512 sweet spot,
+results/op_table_serve_unfused.json), and the k=3 conv on the
 duplicated samples does redundant work: with u[2i] = u[2i+1] = h[i],
 
     y[2i]   = w0*u[2i-1] + w1*u[2i] + w2*u[2i+1] = w0*h[i-1] + (w1+w2)*h[i]

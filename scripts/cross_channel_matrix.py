@@ -40,21 +40,9 @@ CHANNELS = ["awgn", "rayleigh", "rician", "multipath"]
 
 
 def load_params(path: str):
-    import numpy as np
+    from ofdmgan_tpu.utils.params_io import load_params_tree
 
-    if path.endswith(".npz"):
-        flat = np.load(REPO / path)
-        params = {}
-        for p, arr in flat.items():
-            node, keys = params, p.split("/")
-            for k in keys[:-1]:
-                node = node.setdefault(k, {})
-            node[keys[-1]] = arr
-        return params
-    import orbax.checkpoint as ocp
-
-    restored = ocp.PyTreeCheckpointer().restore(str((REPO / path).absolute()))
-    return restored["params_g"] if "params_g" in restored else restored
+    return load_params_tree(str(REPO / path))
 
 
 def main():

@@ -21,28 +21,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))  # repo root
 
 
 def load_params(path: str, ema: bool):
-    import numpy as np
+    from ofdmgan_tpu.utils.params_io import load_params_tree
 
-    if path.endswith(".npz"):
-        if ema:
-            raise SystemExit(
-                f"--ema has no effect on flat .npz artifacts ({path}): extract "
-                "the EMA subtree first with scripts/extract_champion.py --ema")
-        flat = np.load(path)
-        params = {}
-        for p, arr in flat.items():
-            node, keys = params, p.split("/")
-            for k in keys[:-1]:
-                node = node.setdefault(k, {})
-            node[keys[-1]] = arr
-        return params
-    import orbax.checkpoint as ocp
-
-    ckptr = ocp.PyTreeCheckpointer()
-    if ema:
-        return ckptr.restore(str(Path(path).absolute() / "ema_params_g"))
-    restored = ckptr.restore(str(Path(path).absolute()))
-    return restored["params_g"] if "params_g" in restored else restored
+    return load_params_tree(path, ema)
 
 
 def main():
