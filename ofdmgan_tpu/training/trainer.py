@@ -119,7 +119,7 @@ class Trainer:
 
         # StepLR in optimizer-update counts (G: 1/step; D: n_critic/step)
         decay_g = self.tp["scheduler_step"] * self.steps_per_epoch
-        decay_d = decay_g * self.loss_cfg.n_critic
+        decay_d = decay_g * max(self.loss_cfg.n_critic, 1)  # n_critic=0: D never steps
         self.tx_g = make_adam(self.tp["lr_generator"], self.tp["betas"], decay_g, self.tp["scheduler_gamma"])
         self.tx_d = make_adam(self.tp["lr_discriminator"], self.tp["betas"], decay_d, self.tp["scheduler_gamma"])
 

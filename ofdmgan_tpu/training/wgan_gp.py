@@ -136,10 +136,21 @@ def generator_loss_fn(
     batch,
     cfg: LossConfig,
 ):
-    """L_G = -E[D(G(c),c)] + λ_rec·L1 (train.py:281-305)."""
+    """L_G = -E[D(G(c),c)] + λ_rec·L1 (train.py:281-305).
+
+    ``cfg.n_critic == 0`` is the SUPERVISED fast path: the critic forward is
+    skipped entirely (adv ≡ 0). With ``adv_weight == 0`` this is bit-exact —
+    the adv term's loss contribution is ``0.0 * finite = 0.0`` and autodiff
+    scales the whole critic cotangent chain by that same 0.0, so the
+    generator trajectory is IDENTICAL to an n_critic>0/adv_weight=0 run
+    (tests/test_training.py::test_supervised_fast_path_bit_exact) while
+    paying for none of the adversarial machinery."""
     noisy, clean = batch["noisy"], batch["clean"]
     fake = gen_apply(params_g, noisy)
-    adv = -jnp.mean(critic_apply(params_d, fake, noisy))
+    if cfg.n_critic == 0:
+        adv = jnp.zeros((), jnp.float32)
+    else:
+        adv = -jnp.mean(critic_apply(params_d, fake, noisy))
     if clean.dtype in _FP8_DTYPES:
         # fp8 storage has no implicit promotion path; explicit upcast to the
         # generator output's dtype (what promotion does for bf16 storage)
@@ -215,6 +226,12 @@ def build_train_step(
     EXCEPT the GP subgraph (forward + nested ∇ₓD + its parameter gradients)
     at tensorfloat32 / float32 respectively.
     """
+    if loss_cfg.n_critic == 0 and loss_cfg.adv_weight != 0.0:
+        raise ValueError(
+            "n_critic=0 (the supervised fast path) requires adv_weight=0 — "
+            "with no critic updates an adversarial generator term would "
+            "train against a frozen random critic")
+
     gp_precision = None
     if matmul_precision in ("bf16_tf32gp", "bf16_f32gp"):
         gp_precision = "tensorfloat32" if matmul_precision == "bf16_tf32gp" else "float32"
@@ -316,17 +333,27 @@ def build_train_step(
             params_d = optax.apply_updates(params_d, updates)
             return (params_d, opt_d), aux
 
-        # unrolling the 5-iteration inner scan exposes cross-iteration ILP
-        # to XLA's scheduler (identical numerics; scan unroll is pure codegen)
-        (params_d, opt_d), d_auxes = jax.lax.scan(
-            critic_body,
-            (state.params_d, state.opt_d),
-            jax.random.split(k_crit, loss_cfg.n_critic),
-            unroll=critic_unroll,
-        )
-        # keep the last critic step's metrics, like the reference
-        # (train.py:331-334 overwrites d_losses each inner iteration)
-        d_aux = jax.tree_util.tree_map(lambda x: x[-1], d_auxes)
+        if loss_cfg.n_critic == 0:
+            # supervised fast path: no critic updates, no GP — the critic
+            # tree rides through untouched and the adversarial metrics log
+            # as zeros (keys kept so trainer logging/JSONL schemas match)
+            params_d, opt_d = state.params_d, state.opt_d
+            zero = jnp.zeros((), jnp.float32)
+            d_aux = {"d_loss": zero, "wasserstein_distance": zero,
+                     "gradient_penalty": zero, "d_real_mean": zero,
+                     "d_fake_mean": zero}
+        else:
+            # unrolling the 5-iteration inner scan exposes cross-iteration ILP
+            # to XLA's scheduler (identical numerics; scan unroll is pure codegen)
+            (params_d, opt_d), d_auxes = jax.lax.scan(
+                critic_body,
+                (state.params_d, state.opt_d),
+                jax.random.split(k_crit, loss_cfg.n_critic),
+                unroll=critic_unroll,
+            )
+            # keep the last critic step's metrics, like the reference
+            # (train.py:331-334 overwrites d_losses each inner iteration)
+            d_aux = jax.tree_util.tree_map(lambda x: x[-1], d_auxes)
 
         (g_loss, g_aux), g_grads = jax.value_and_grad(generator_loss_fn, has_aux=True)(
             state.params_g, params_d, gen_apply, critic_apply, batch0, loss_cfg

@@ -1,0 +1,132 @@
+"""Full-U-Net TRAINING-throughput study: recipe x matmul precision, on chip.
+
+The mini's headline bench (bench.py) answers "how fast is the fused WGAN-GP
+step"; this script answers the question that actually gates full-scale
+experimentation: how fast does the 3.94M-param 1024-sample U-Net TRAIN under
+(a) the reference GAN recipe (n_critic 5 + gradient penalty) and (b) the
+supervised champion recipe (adv_weight 0) — now that n_critic=0 is a true
+fast path (training/wgan_gp.py: skips every critic/GP op, bit-exact same
+generator trajectory, tests/test_training.py::test_supervised_fast_path_bit_exact)
+— at each matmul precision. The full model is MXU compute-bound (channels
+32-512 fill the 128x128 tiles; results/RESULTS.md §Perf analysis), so
+precision is the dominant lever here, unlike the VPU/issue-bound mini step.
+
+Methodology = bench.py's (hard-synced: each timed window is one jitted
+scan-of-steps dispatch ended by a device_get of a metric scalar dependent on
+the last step; median of windows after warmup).
+
+Stability note: WGAN-GP requires >= tf32 matmuls (CLAUDE.md); bf16 rows are
+measured for the roofline picture, and for the SUPERVISED recipe (no
+adversarial equilibrium) bf16 is additionally quality-checked separately.
+
+Usage (on the TPU):
+    python scripts/bench_full_train.py --out results/full_train_speed_r3.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))  # repo root
+
+import jax
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=512)
+    ap.add_argument("--scan_steps", type=int, default=16)
+    ap.add_argument("--windows", type=int, default=5)
+    ap.add_argument("--frame_length", type=int, default=1024)
+    ap.add_argument("--platform", default=None)
+    ap.add_argument("--out", default="results/full_train_speed_r3.json")
+    ap.add_argument("--configs", nargs="*", default=None,
+                    help="subset of config names to run (default: all)")
+    args = ap.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ofdmgan_tpu.models.full_unet import FullDiscriminator, FullUNetGenerator
+    from ofdmgan_tpu.signal import DatagenConfig
+    from ofdmgan_tpu.training import LossConfig, TrainState, make_adam, make_train_step
+
+    fl = args.frame_length
+    gen = FullUNetGenerator(frame_length=fl)
+    critic = FullDiscriminator(frame_length=fl)
+    key = jax.random.PRNGKey(0)
+    x0 = np.zeros((1, fl, 2), np.float32)
+    # keep the canonical init on host: the jitted step donates its state, so
+    # each grid config gets fresh device copies
+    params_g = jax.device_get(gen.init(key, x0))
+    params_d = jax.device_get(critic.init(key, x0, x0))
+    # champion task: nonlinear PA/IQ/PN impairments, SNR 0-30 (RESULTS §Full)
+    dg = DatagenConfig.make(frame_length=fl, snr_range=(0, 30),
+                            nonlinear=True, pa_saturation=0.8)
+
+    # (name, n_critic, adv_weight, matmul_precision)
+    grid = [
+        ("gan_f32", 5, 1.0, "float32"),
+        ("gan_tf32", 5, 1.0, "tensorfloat32"),
+        ("gan_bf16", 5, 1.0, "bfloat16"),          # roofline only: UNSTABLE for WGAN-GP
+        # the full champion EXACTLY as run (sup_decay_seed2.log: n_critic 1,
+        # adv 0 — critic trained but unused by G): the honest "before" row
+        ("asrun_champion_f32", 1, 0.0, "float32"),
+        ("supervised_f32", 0, 0.0, "float32"),      # the champion recipe, fast path
+        ("supervised_tf32", 0, 0.0, "tensorfloat32"),
+        ("supervised_bf16", 0, 0.0, "bfloat16"),
+    ]
+    if args.configs:
+        grid = [g for g in grid if g[0] in args.configs]
+
+    results = {"batch": args.batch, "scan_steps": args.scan_steps,
+               "frame_length": fl, "windows": args.windows, "rows": {}}
+    for name, n_critic, adv_w, mm in grid:
+        loss = LossConfig(n_critic=n_critic, adv_weight=adv_w)
+        tx_g, tx_d = make_adam(2e-4), make_adam(2e-4)
+        state = TrainState.create(jax.device_put(params_g),
+                                  jax.device_put(params_d), tx_g, tx_d)
+        step = make_train_step(gen.apply, critic.apply, tx_g, tx_d, dg, loss,
+                               batch_size=args.batch,
+                               scan_steps=args.scan_steps,
+                               matmul_precision=mm)
+
+        def timed(state, seed):
+            t0 = time.perf_counter()
+            state, metrics = step(state, jax.random.PRNGKey(seed))
+            _ = float(jax.device_get(metrics["rec_loss"]))  # hard sync
+            dt = time.perf_counter() - t0
+            return state, args.batch * args.scan_steps / dt
+
+        for w in range(2):  # compile + warmup
+            state, _ = timed(state, 1000 + w)
+        samples = []
+        for w in range(args.windows):
+            state, fps = timed(state, 2000 + w)
+            samples.append(fps)
+        samples.sort()
+        fps = samples[len(samples) // 2]
+        results["rows"][name] = {
+            "frames_per_sec": round(fps, 1),
+            "ms_per_step": round(1e3 * args.batch / fps, 2),
+            "n_critic": n_critic, "adv_weight": adv_w,
+            "matmul_precision": mm,
+            "windows_fps": [round(s, 1) for s in samples],
+        }
+        print(f"{name:18s} {fps:10.1f} frames/s "
+              f"({1e3 * args.batch / fps:7.2f} ms/step)")
+        del state, step
+
+    Path(args.out).parent.mkdir(parents=True, exist_ok=True)
+    Path(args.out).write_text(json.dumps(results, indent=1))
+    print("wrote", args.out)
+
+
+if __name__ == "__main__":
+    main()

@@ -92,6 +92,41 @@ class TestTrainStep:
         after = float(ev(state.params_g, jax.random.PRNGKey(99))["rec_loss"])
         assert after < before * 0.8, (before, after)
 
+    def test_supervised_fast_path_bit_exact(self):
+        # n_critic=0 (supervised fast path) must reproduce the generator
+        # trajectory of an adv_weight=0 GAN step BIT-EXACTLY: with
+        # adv_weight 0 the critic's contribution to the generator gradient
+        # is 0.0 * finite = 0.0 exactly, and the k_data/k_crit key split is
+        # identical in both paths. This is the guarantee that lets the
+        # full-scale supervised champion recipe skip all critic compute.
+        gen, critic, tx_g, tx_d, state, dg, loss = _setup(
+            adv_weight=0.0, n_critic=5)
+        step_gan = make_train_step(gen.apply, critic.apply, tx_g, tx_d, dg,
+                                   loss, 32, scan_steps=3, donate=False)
+        loss_fast = LossConfig(adv_weight=0.0, n_critic=0)
+        step_fast = make_train_step(gen.apply, critic.apply, tx_g, tx_d, dg,
+                                    loss_fast, 32, scan_steps=3, donate=False)
+        s_gan, m_gan = step_gan(state, KEY)
+        s_fast, m_fast = step_fast(state, KEY)
+        for a, b in zip(jax.tree_util.tree_leaves(s_gan.params_g),
+                        jax.tree_util.tree_leaves(s_fast.params_g)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # critic tree rides through untouched; adversarial metrics log zeros
+        for a, b in zip(jax.tree_util.tree_leaves(state.params_d),
+                        jax.tree_util.tree_leaves(s_fast.params_d)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert float(m_fast["g_loss"]) == float(m_gan["g_loss"])
+        for k in ("d_loss", "wasserstein_distance", "gradient_penalty",
+                  "adv_loss"):
+            assert float(m_fast[k]) == 0.0, k
+
+    def test_supervised_fast_path_requires_adv_weight_zero(self):
+        gen, critic, tx_g, tx_d, state, dg, _ = _setup()
+        with pytest.raises(ValueError, match="supervised fast path"):
+            make_train_step(gen.apply, critic.apply, tx_g, tx_d, dg,
+                            LossConfig(adv_weight=1.0, n_critic=0), 32,
+                            donate=False)
+
     def test_fresh_critic_batches_mode(self):
         gen, critic, tx_g, tx_d, state, dg, loss = _setup(fresh_critic_batches=True)
         step = make_train_step(gen.apply, critic.apply, tx_g, tx_d, dg, loss, 16, donate=False)

@@ -93,7 +93,11 @@ def main():
     parser.add_argument("--lr_d", type=float, default=None,
                         help="discriminator lr override (decoupled from --lr)")
     parser.add_argument("--n_critic", type=int, default=None,
-                        help="critic updates per generator update override")
+                        help="critic updates per generator update override; "
+                             "0 = supervised FAST PATH (requires "
+                             "--adv_weight 0): skips all critic/GP compute, "
+                             "bit-exact same generator trajectory as "
+                             "n_critic>0 at adv_weight 0")
     parser.add_argument("--adv_weight", type=float, default=None,
                         help="adversarial loss weight override (0 = supervised "
                              "L1-only pretraining; the critic still trains)")
