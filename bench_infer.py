@@ -135,14 +135,23 @@ def main():
             jax.profiler.start_trace(f"{args.profile_dir}/{model_name}")
             timed(300)
             jax.profiler.stop_trace()
-        results.append({
+        row = {
             "metric": "generator_inference_frames_per_sec_per_chip",
             "model": model_name,
             "value": round(fps, 1),
             "unit": "frames/s/chip",
             "input": "resident" if args.resident else "datagen_in_loop",
             "vs_reference_fpga": round(fps / REFERENCE_FPGA_FRAMES_PER_SEC, 1),
-        })
+        }
+        if args.resident:
+            # the chained applies are serialized by the carry dependence, so
+            # window_time/scan_steps is the honest on-device latency of one
+            # apply at this batch; at --batch 1 this is the per-frame serving
+            # LATENCY comparable to the reference's FPGA estimate of 5-10 us
+            # (BASELINE.md: ~500-1000 cycles @100 MHz,
+            # reference docs/MATH_FOUNDATION.md latency row).
+            row["us_per_apply"] = round(1e6 * batch / fps, 3)
+        results.append(row)
 
     wanted = set(args.models.split(","))
 
