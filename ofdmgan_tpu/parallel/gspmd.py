@@ -15,6 +15,19 @@ The second of the framework's two multi-chip strategies (SURVEY.md §2.4):
 Use GSPMD when the model is large enough to shard (the 1024-sample U-Net
 family); use shard_map when you want explicit, auditable collectives (the
 mini model's pure-dp training).
+
+Mesh axes understood by this module:
+
+  * ``dp`` — batch sharding (always),
+  * ``tp`` — Megatron channel sharding of the U-Net kernels via
+    ``gen_tp_rule=unet_param_shardings``,
+  * ``sp`` — sequence parallelism: the frame-length axis of every
+    [B, L, 2] activation sharded across devices, conv halo exchanges
+    inserted by GSPMD's spatial partitioner (useful when L is too long
+    for one chip's VMEM/HBM, e.g. very long OFDM captures). dp x sp is
+    layout-equivalent to pure dp (tested); sp x tp on one mesh is
+    guarded off due to an XLA partitioner miscompile (see the canary
+    test referenced below).
 """
 
 from __future__ import annotations
@@ -53,6 +66,30 @@ def make_gspmd_train_step(
     fused train step; the generated batch is constrained to ``P('dp', ...)``.
     """
     replicated = NamedSharding(mesh, P())
+    # Sequence parallelism: when the mesh carries an ``sp`` axis, the frame
+    # LENGTH dimension of every [B, L, 2] activation is sharded across it.
+    # The U-Net is a conv stack (lax.conv_general_dilated, k=3), so GSPMD's
+    # spatial partitioner inserts the kernel//2-sample halo exchanges at the
+    # shard boundaries automatically — the TPU-native equivalent of the
+    # manual ring halo a CUDA framework would hand-write. It composes with
+    # dp (batch) sharding on the same mesh; the global function is
+    # unchanged, only the inserted collectives differ (layout equivalence
+    # asserted in __graft_entry__.dryrun_multichip and tests/test_gspmd.py).
+    sp = "sp" if mesh.shape.get("sp", 1) > 1 else None
+    if sp and mesh.shape.get("tp", 1) > 1 and (
+            gen_tp_rule is not None or critic_tp_rule is not None):
+        # jax 0.9.0 / XLA miscompiles a convolution whose LHS is sharded on
+        # the spatial dim while its kernel is sharded on C_out (the Megatron
+        # column half of the tp rule): the partitioned program returns wrong
+        # VALUES, not an error (minimal repro + canary:
+        # tests/test_gspmd.py::test_sp_tp_conv_partitioner_canary — if that
+        # canary reports the upstream fix, lift this guard). Until then the
+        # supported 3-D layouts are dp x sp (this module) and dp x tp.
+        raise ValueError(
+            "sp x tp on one mesh is disabled: XLA's SPMD partitioner "
+            "miscompiles spatially-sharded convs with C_out-sharded kernels "
+            "(see parallel/gspmd.py + the canary test). Use dp x sp or "
+            "dp x tp.")
 
     def batch_fn(key, n):
         from ..signal.datagen import synthetic_batch
@@ -61,7 +98,7 @@ def make_gspmd_train_step(
         return jax.tree_util.tree_map(
             lambda x: jax.lax.with_sharding_constraint(
                 x,
-                NamedSharding(mesh, P("dp", None, None) if x.ndim == 3 else P("dp")),
+                NamedSharding(mesh, P("dp", sp, None) if x.ndim == 3 else P("dp")),
             ),
             batch,
         )

@@ -60,6 +60,75 @@ class TestGSPMD:
         )
         assert any("tp" in str(s) for s in specs2.values())
 
+    def test_full_unet_dp_sp_layout_equivalence(self):
+        # Sequence parallelism: sharding the frame-length axis over an `sp`
+        # mesh axis (GSPMD inserts the conv halo exchanges) must train to
+        # the same parameters as the pure-dp layout — same global function,
+        # different collectives.
+        gen = FullUNetGenerator(frame_length=64, levels=3, base_channels=8)
+        critic = FullDiscriminator(frame_length=64, levels=3, base_channels=8)
+        x0 = jnp.zeros((1, 64, 2))
+        pg, pd = gen.init(KEY, x0), critic.init(KEY, x0, x0)
+
+        def checksum(tree):
+            return float(sum(jnp.sum(l) for l in
+                             jax.tree_util.tree_leaves(jax.device_get(tree))))
+
+        sums = []
+        for layout in ({"dp": 8}, {"dp": 4, "sp": 2}):
+            mesh = make_mesh(layout)
+            make_state, step = make_gspmd_train_step(
+                gen.apply, critic.apply, make_adam(1e-4), make_adam(1e-4),
+                DatagenConfig.make(frame_length=64), LossConfig(n_critic=1),
+                global_batch_size=16, mesh=mesh, donate=False,
+            )
+            st, m = step(make_state(pg, pd), jax.random.PRNGKey(2))
+            jax.block_until_ready(st)
+            assert np.isfinite(float(jax.device_get(m["g_loss"])))
+            sums.append(checksum((st.params_g, st.params_d)))
+        rel = abs(sums[0] - sums[1]) / max(1e-12, abs(sums[0]))
+        assert rel < 1e-6, (sums, rel)
+
+    def test_sp_tp_guard_raises(self):
+        gen = FullUNetGenerator(frame_length=64, levels=3, base_channels=8)
+        critic = FullDiscriminator(frame_length=64, levels=3, base_channels=8)
+        mesh = make_mesh({"dp": 2, "sp": 2, "tp": 2})
+        with pytest.raises(ValueError, match="sp x tp"):
+            make_gspmd_train_step(
+                gen.apply, critic.apply, make_adam(1e-4), make_adam(1e-4),
+                DatagenConfig.make(frame_length=64), LossConfig(n_critic=1),
+                global_batch_size=16, mesh=mesh,
+                gen_tp_rule=unet_param_shardings, donate=False,
+            )
+
+    def test_sp_tp_conv_partitioner_canary(self):
+        # Minimal repro of the jax 0.9.0 XLA SPMD miscompile that motivates
+        # the sp x tp guard: a conv whose LHS is sharded on the spatial dim
+        # and whose kernel is sharded on C_out returns wrong VALUES (no
+        # error). If this test starts reporting agreement, upstream fixed
+        # it — lift the guard in parallel/gspmd.py and delete this canary.
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = make_mesh({"dp": 2, "sp": 2, "tp": 2})
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(8, 64, 8)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(3, 8, 16)), jnp.float32)
+
+        def conv(h, w):
+            return jax.lax.conv_general_dilated(
+                h, w, (1,), ((1, 1),), dimension_numbers=("NWC", "WIO", "NWC"))
+
+        ref = conv(x, k)
+        xs = jax.device_put(x, NamedSharding(mesh, P("dp", "sp", None)))
+        ks = jax.device_put(k, NamedSharding(mesh, P(None, None, "tp")))
+        diff = float(jnp.max(jnp.abs(jax.jit(conv)(xs, ks) - ref)))
+        if diff < 1e-4:
+            pytest.fail(
+                "XLA's spatial x C_out conv partitioning now agrees with the "
+                f"reference (max abs diff {diff:.2e}) — the upstream "
+                "miscompile is fixed; lift the sp x tp guard in "
+                "parallel/gspmd.py and delete this canary.")
+
     def test_mini_model_gspmd_matches_single_device(self):
         # replicated-params GSPMD dp run must equal the plain single-device
         # step given the same key (same global batch from the same key).
