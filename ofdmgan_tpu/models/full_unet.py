@@ -100,38 +100,64 @@ class FullUNetGenerator(nn.Module):
             return fake_quantize_auto(h, self.act_bits)
         return h
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        a = self.leaky_slope
+    def setup(self):
+        # setup()-style so ``encode``/``decode`` can be applied as separate
+        # stage functions over ONE shared param tree (pipeline parallelism,
+        # parallel/pipeline.py). Submodule names come from the attribute
+        # names, so the param tree (and the reference export layer-name
+        # contract, metadata.json) is identical to the previous @nn.compact
+        # form — flax derives param RNG from the name path, so even the
+        # seeded init values are unchanged.
         widths = [self.base_channels * (2**i) for i in range(self.levels)]
 
         if self.weight_bits:
-            def conv(w, s, name):
+            def conv(w, s):
                 return _QuantConv(features=w, stride=s,
-                                  weight_bits=self.weight_bits, name=name)
+                                  weight_bits=self.weight_bits)
         else:
-            conv = _conv
+            def conv(w, s):
+                return _conv(w, s, name=None)
 
-        skips = []
-        h = self._maybe_quant_act(x)
         for i, w in enumerate(widths):
-            h = self._maybe_quant_act(leaky_relu(conv(w, 2, f"enc{i+1}_1")(h), a))
-            h = self._maybe_quant_act(leaky_relu(conv(w, 1, f"enc{i+1}_2")(h), a))
-            skips.append(h)
-
-        h = self._maybe_quant_act(leaky_relu(conv(widths[-1], 1, "bottle1")(h), a))
-        h = self._maybe_quant_act(leaky_relu(conv(widths[-1], 1, "bottle2")(h), a))
-
+            setattr(self, f"enc{i+1}_1", conv(w, 2))
+            setattr(self, f"enc{i+1}_2", conv(w, 1))
+        self.bottle1 = conv(widths[-1], 1)
+        self.bottle2 = conv(widths[-1], 1)
         for i in range(self.levels):
             out_w = widths[self.levels - 2 - i] if i < self.levels - 1 else widths[0]
+            setattr(self, f"dec{i+1}_1", conv(out_w, 1))
+            setattr(self, f"dec{i+1}_2", conv(out_w, 1))
+        self.final = conv(self.output_channels, 1)
+
+    def encode(self, x: jnp.ndarray):
+        """Pipeline stage 0: the strided encoder. Returns the bottleneck
+        input plus every skip activation (the inter-stage payload)."""
+        a = self.leaky_slope
+        skips = []
+        h = self._maybe_quant_act(x)
+        for i in range(self.levels):
+            h = self._maybe_quant_act(leaky_relu(getattr(self, f"enc{i+1}_1")(h), a))
+            h = self._maybe_quant_act(leaky_relu(getattr(self, f"enc{i+1}_2")(h), a))
+            skips.append(h)
+        return h, skips
+
+    def decode(self, h: jnp.ndarray, skips) -> jnp.ndarray:
+        """Pipeline stage 1: bottleneck + decoder (consumes the skips)."""
+        a = self.leaky_slope
+        h = self._maybe_quant_act(leaky_relu(self.bottle1(h), a))
+        h = self._maybe_quant_act(leaky_relu(self.bottle2(h), a))
+        for i in range(self.levels):
             h = upsample_nearest_2x(h)
-            h = self._maybe_quant_act(leaky_relu(conv(out_w, 1, f"dec{i+1}_1")(h), a))
-            h = self._maybe_quant_act(leaky_relu(conv(out_w, 1, f"dec{i+1}_2")(h), a))
+            h = self._maybe_quant_act(leaky_relu(getattr(self, f"dec{i+1}_1")(h), a))
+            h = self._maybe_quant_act(leaky_relu(getattr(self, f"dec{i+1}_2")(h), a))
             if i < self.levels - 1:  # additive skip (no skip at input resolution)
                 h = self._maybe_quant_act(h + skips[self.levels - 2 - i])
-
-        out = conv(self.output_channels, 1, "final")(h)
+        out = self.final(h)
         return jnp.tanh(out)
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        h, skips = self.encode(x)
+        return self.decode(h, skips)
 
 
 class FullDiscriminator(nn.Module):

@@ -5,4 +5,5 @@ from .mesh import (  # noqa: F401
     replicate_state,
 )
 from .gspmd import make_gspmd_train_step  # noqa: F401
+from .pipeline import make_pp_supervised_train_step, unet_stage_fns  # noqa: F401
 from . import distributed  # noqa: F401
