@@ -54,6 +54,7 @@ def make_gspmd_train_step(
     gen_tp_rule: Callable | None = None,
     critic_tp_rule: Callable | None = None,
     scan_steps: int = 1,
+    matmul_precision: str = "float32",
     donate: bool = True,
 ) -> Tuple[Callable, Callable]:
     """Build ``(make_state, step)``.
@@ -106,6 +107,7 @@ def make_gspmd_train_step(
     inner = build_train_step(
         gen_apply, critic_apply, tx_g, tx_d, dg_cfg, loss_cfg,
         global_batch_size, scan_steps=scan_steps, batch_fn=batch_fn,
+        matmul_precision=matmul_precision,
     )
 
     def _put(tree, shardings):

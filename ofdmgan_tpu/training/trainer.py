@@ -58,6 +58,9 @@ class Trainer:
         val_samples: int = 1_000,
         scan_steps: int = 0,
         data_parallel: int = 0,
+        strategy: str = "shard_map",
+        tensor_parallel: int = 1,
+        seq_parallel: int = 1,
         seed: int = 0,
         image_dir: Optional[str] = None,
         samples_per_image: int = 10,
@@ -230,10 +233,62 @@ class Trainer:
             raise ValueError("mm requires flat_step")
 
         self.mesh = None
+        self._strategy = strategy
+        self._state_shardings = None
         n_dev = len(jax.devices())
+        if strategy == "gspmd":
+            # GSPMD (pjit) path: dp x tp x sp mesh, XLA-inserted collectives
+            # (parallel/gspmd.py). Supports the standard module step only —
+            # the mini-specific levers (flat step, pallas datagen, unrolls,
+            # remat, image datasets) stay on the shard_map/single paths.
+            for flag, name in ((flat_step, "flat_step"), (remat, "remat"),
+                               (use_pallas_datagen, "use_pallas_datagen"),
+                               (critic_unroll != 1, "critic_unroll"),
+                               (mm != "ambient", "mm"),
+                               (user_batch_fn is not None, "image datasets")):
+                if flag:
+                    raise ValueError(f"strategy='gspmd' does not support {name}")
+            if tensor_parallel > 1 and not hasattr(self.generator, "levels"):
+                raise ValueError("tensor_parallel > 1 requires the full "
+                                 "U-Net family (--model full): the Megatron "
+                                 "sharding rule keys on its layer names")
+            if data_parallel == 0:
+                data_parallel = max(1, n_dev // (tensor_parallel * seq_parallel))
+            axes = {"dp": data_parallel}
+            if tensor_parallel > 1:
+                axes["tp"] = tensor_parallel
+            if seq_parallel > 1:
+                axes["sp"] = seq_parallel
+            from ..models.full_unet import unet_param_shardings
+            from ..parallel import make_gspmd_train_step
+
+            self.mesh = make_mesh(axes)
+            make_state, self._step = make_gspmd_train_step(
+                train_gen_apply, train_critic_apply,
+                self.tx_g, self.tx_d, self.dg_cfg, self.loss_cfg,
+                global_batch_size=self.batch_size, mesh=self.mesh,
+                gen_tp_rule=(unet_param_shardings if tensor_parallel > 1
+                             else None),
+                scan_steps=self.scan_steps,
+                matmul_precision=matmul_precision,
+            )
+            self.state = make_state(jax.device_get(self.state.params_g),
+                                    jax.device_get(self.state.params_d))
+            # remember each leaf's placement so resume/warm-start can put
+            # restored host values back under the same shardings
+            self._state_shardings = jax.tree_util.tree_map(
+                lambda a: a.sharding, self.state)
+        elif strategy != "shard_map":
+            raise ValueError(f"unknown strategy {strategy!r} "
+                             "(expected 'shard_map' or 'gspmd')")
+        elif tensor_parallel > 1 or seq_parallel > 1:
+            raise ValueError("tensor_parallel/seq_parallel require "
+                             "strategy='gspmd'")
         if data_parallel == 0:
             data_parallel = n_dev if n_dev > 1 else 1
-        if data_parallel > 1:
+        if strategy == "gspmd":
+            pass  # step built above
+        elif data_parallel > 1:
             self.mesh = make_mesh({"dp": data_parallel})
             self.state = replicate_state(self.state, self.mesh)
             self._step = make_sharded_train_step(
@@ -394,6 +449,16 @@ class Trainer:
             shutil.copytree(path, best)
             self._last_best_path = str(best)
 
+    def _place_state(self, state: TrainState) -> TrainState:
+        """Re-place a (host or freshly built) TrainState under the run's
+        layout: GSPMD shardings captured at init, shard_map replication, or
+        as-is on a single device."""
+        if self._state_shardings is not None:  # gspmd
+            return jax.device_put(jax.device_get(state), self._state_shardings)
+        if self.mesh is not None:
+            return replicate_state(state, self.mesh)
+        return state
+
     def init_params_from(self, path: str):
         """Warm-start ONLY the model parameters from a checkpoint: fresh
         optimizer states, schedule position 0, epoch 0. This is the right
@@ -403,10 +468,8 @@ class Trainer:
         path = Path(path).absolute()
         template = jax.device_get(self.state)
         loaded = self._ckptr.restore(str(path), item=template)
-        self.state = TrainState.create(loaded.params_g, loaded.params_d,
-                                       self.tx_g, self.tx_d)
-        if self.mesh is not None:
-            self.state = replicate_state(self.state, self.mesh)
+        self.state = self._place_state(TrainState.create(
+            loaded.params_g, loaded.params_d, self.tx_g, self.tx_d))
         if self.ema_params_g is not None:
             self.ema_params_g = jax.tree_util.tree_map(
                 np.asarray, jax.device_get(loaded.params_g))
@@ -419,10 +482,9 @@ class Trainer:
         params_g = jax.tree_util.tree_map(
             lambda t, v: np.asarray(v, dtype=np.asarray(t).dtype),
             template, params_g)
-        self.state = TrainState.create(params_g, jax.device_get(self.state.params_d),
-                                       self.tx_g, self.tx_d)
-        if self.mesh is not None:
-            self.state = replicate_state(self.state, self.mesh)
+        self.state = self._place_state(TrainState.create(
+            params_g, jax.device_get(self.state.params_d),
+            self.tx_g, self.tx_d))
         if self.ema_params_g is not None:
             self.ema_params_g = jax.tree_util.tree_map(np.asarray, params_g)
 
@@ -431,9 +493,7 @@ class Trainer:
         path = Path(path).absolute()
         template = jax.device_get(self.state)
         state = self._ckptr.restore(str(path), item=template)
-        self.state = state
-        if self.mesh is not None:
-            self.state = replicate_state(self.state, self.mesh)
+        self.state = self._place_state(state)
         ema_path = path / "ema_params_g"
         if self.ema_params_g is not None:
             if ema_path.exists():

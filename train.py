@@ -57,6 +57,17 @@ def main():
     parser.add_argument("--samples_per_epoch", type=int, default=None)
     parser.add_argument("--scan_steps", type=int, default=None)
     parser.add_argument("--dp", type=int, default=None, help="data-parallel mesh size (0=all devices)")
+    parser.add_argument("--strategy", choices=["shard_map", "gspmd"], default="shard_map",
+                        help="multi-device strategy: shard_map = explicit dp "
+                             "collectives (default); gspmd = pjit with "
+                             "compiler-inserted collectives (enables --tp/--sp)")
+    parser.add_argument("--tp", type=int, default=1,
+                        help="tensor-parallel mesh size (Megatron U-Net kernel "
+                             "sharding; requires --strategy gspmd --model full)")
+    parser.add_argument("--sp", type=int, default=1,
+                        help="sequence-parallel mesh size (frame-length-sharded "
+                             "activations with GSPMD conv halo exchanges; "
+                             "requires --strategy gspmd)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--platform", type=str, default=None,
                         help="force a jax platform (e.g. cpu) before backend init")
@@ -312,6 +323,9 @@ def main():
         samples_per_epoch=args.samples_per_epoch or tpu_cfg.get("samples_per_epoch", 10_000),
         scan_steps=args.scan_steps if args.scan_steps is not None else tpu_cfg.get("scan_steps", 0),
         data_parallel=args.dp if args.dp is not None else tpu_cfg.get("data_parallel", 0),
+        strategy=args.strategy,
+        tensor_parallel=args.tp,
+        seq_parallel=args.sp,
         seed=args.seed,
         image_dir=args.image_dir,
         image_chunks=args.image_chunks,
