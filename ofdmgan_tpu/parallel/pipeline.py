@@ -85,7 +85,7 @@ def unet_stage_fns(gen, frame_length: int) -> Tuple[list, int]:
     return [stage_encode, stage_decode], width
 
 
-def make_pp_supervised_train_step(
+def _make_pp_spmd_fn(
     gen,
     tx: optax.GradientTransformation,
     dg_cfg: DatagenConfig,
@@ -93,10 +93,15 @@ def make_pp_supervised_train_step(
     microbatches: int,
     mesh: Mesh,
     remat: bool = False,
+    grad_scale: float = 1.0,
 ) -> Callable:
-    """Build ``step((params, opt_state), key) -> ((params, opt_state), metrics)``
-    — one pipelined supervised update (L1 reconstruction loss, the
-    full-scale champion recipe) over the mesh's ``pp`` axis.
+    """Build the shard_mapped ``(params, opt_state, key) -> (params,
+    opt_state, metrics)`` pipelined supervised update over the ``pp`` axis.
+
+    ``grad_scale`` scales the assembled gradient before the optimizer update
+    (exactly equivalent to optimizing ``grad_scale * L1`` — the loss is
+    linear in its scale — so the product path can optimize the trainer's
+    ``rec_weight * L1`` objective while metrics keep the raw L1).
 
     ``remat=True`` wraps each stage in ``jax.checkpoint`` — the GPipe
     activation-memory trade (recompute stage forwards during the backward
@@ -160,16 +165,34 @@ def make_pp_supervised_train_step(
         # the global mean for metrics
         loss = jax.lax.psum(loss_local, "pp")
         grads = jax.lax.psum(grads, "pp")
+        if grad_scale != 1.0:
+            grads = jax.tree_util.tree_map(lambda g: grad_scale * g, grads)
         updates, new_opt = tx.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
         return new_params, new_opt, {"rec_loss": loss}
 
-    sharded = shard_map(
+    return shard_map(
         spmd_step, mesh=mesh,
         in_specs=(P(), P(), P()),
         out_specs=(P(), P(), P()),
         check_vma=False,
     )
+
+
+def make_pp_supervised_train_step(
+    gen,
+    tx: optax.GradientTransformation,
+    dg_cfg: DatagenConfig,
+    global_batch_size: int,
+    microbatches: int,
+    mesh: Mesh,
+    remat: bool = False,
+) -> Callable:
+    """Build ``step((params, opt_state), key) -> ((params, opt_state), metrics)``
+    — one pipelined supervised update (L1 reconstruction loss, the
+    full-scale champion recipe) over the mesh's ``pp`` axis."""
+    sharded = _make_pp_spmd_fn(gen, tx, dg_cfg, global_batch_size,
+                               microbatches, mesh, remat=remat)
 
     @jax.jit
     def step(state, key):
@@ -178,3 +201,72 @@ def make_pp_supervised_train_step(
         return (new_params, new_opt), metrics
 
     return step
+
+
+def make_pp_trainstate_step(
+    gen,
+    tx_g: optax.GradientTransformation,
+    dg_cfg: DatagenConfig,
+    loss_cfg,
+    global_batch_size: int,
+    microbatches: int,
+    mesh: Mesh,
+    scan_steps: int = 1,
+    remat: bool = False,
+    donate: bool = True,
+) -> Callable:
+    """Product-path pipeline step: the trainer-compatible
+    ``(TrainState, key) -> (TrainState, metrics)`` wrapper around the GPipe
+    pipeline (``train.py --strategy pp``).
+
+    Supervised-ONLY by design: a critic's GP double-grad through a pipeline
+    buys nothing at this model scale and U-Nets pipeline poorly anyway (the
+    skip payload is ~6x the bottleneck activation — docs/SCALING.md §pp), so
+    adversarial configs raise loudly here instead of silently mistraining.
+
+    Optimizes ``rec_weight * L1`` (the supervised fast-path objective of
+    training/wgan_gp.generator_loss_fn), scans ``scan_steps`` outer steps
+    per dispatch, and emits the full adversarial metric schema with zeroed
+    critic entries — exactly like the single-device ``n_critic=0`` fast
+    path — so trainer logging/JSONL schemas are unchanged.
+    """
+    if loss_cfg.n_critic != 0 or loss_cfg.adv_weight != 0.0:
+        raise ValueError(
+            "strategy='pp' trains the SUPERVISED path only (--n_critic 0 "
+            "--adv_weight 0): adversarial WGAN-GP training is not pipelined "
+            "— use --strategy shard_map (dp) or gspmd (dp/tp/sp) for GAN "
+            f"recipes (got n_critic={loss_cfg.n_critic}, "
+            f"adv_weight={loss_cfg.adv_weight})")
+    sharded = _make_pp_spmd_fn(
+        gen, tx_g, dg_cfg, global_batch_size, microbatches, mesh,
+        remat=remat, grad_scale=float(loss_cfg.rec_weight))
+    zero = jnp.zeros((), jnp.float32)
+
+    def one_step(state, key):
+        params_g, opt_g, metrics = sharded(state.params_g, state.opt_g, key)
+        rec = metrics["rec_loss"]
+        new_state = state.replace(params_g=params_g, opt_g=opt_g,
+                                  step=state.step + 1)
+        return new_state, {
+            "d_loss": zero, "wasserstein_distance": zero,
+            "gradient_penalty": zero, "d_real_mean": zero,
+            "d_fake_mean": zero, "g_loss": loss_cfg.rec_weight * rec,
+            "adv_loss": zero, "rec_loss": rec,
+        }
+
+    def step_fn(state, key):
+        if scan_steps == 1:
+            return one_step(state, key)
+        keys = jax.random.split(key, scan_steps)
+
+        def body(carry, k):
+            st, _ = carry
+            return one_step(st, k), None
+
+        m0 = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype),
+            jax.eval_shape(one_step, state, keys[0])[1])
+        (state, metrics), _ = jax.lax.scan(body, (state, m0), keys)
+        return state, metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())

@@ -61,6 +61,8 @@ class Trainer:
         strategy: str = "shard_map",
         tensor_parallel: int = 1,
         seq_parallel: int = 1,
+        pipeline_parallel: int = 0,
+        microbatches: int = 8,
         seed: int = 0,
         image_dir: Optional[str] = None,
         samples_per_image: int = 10,
@@ -278,15 +280,41 @@ class Trainer:
             # restored host values back under the same shardings
             self._state_shardings = jax.tree_util.tree_map(
                 lambda a: a.sharding, self.state)
+        elif strategy == "pp":
+            # GPipe pipeline parallelism over the pp axis (parallel/
+            # pipeline.py): the SUPERVISED full-U-Net path only — the
+            # builder raises loudly for adversarial configs.
+            for flag, name in ((flat_step, "flat_step"),
+                               (use_pallas_datagen, "use_pallas_datagen"),
+                               (critic_unroll != 1, "critic_unroll"),
+                               (mm != "ambient", "mm"),
+                               (user_batch_fn is not None, "image datasets")):
+                if flag:
+                    raise ValueError(f"strategy='pp' does not support {name}")
+            if not hasattr(self.generator, "levels"):
+                raise ValueError("strategy='pp' requires the full U-Net "
+                                 "family (--model full): the pipeline splits "
+                                 "on its encode|decode stage seam")
+            pp = pipeline_parallel if pipeline_parallel > 0 else min(n_dev, 2)
+            from ..parallel import make_pp_trainstate_step
+
+            self.mesh = make_mesh({"pp": pp})
+            self._step = make_pp_trainstate_step(
+                self.generator, self.tx_g, self.dg_cfg, self.loss_cfg,
+                global_batch_size=self.batch_size,
+                microbatches=microbatches, mesh=self.mesh,
+                scan_steps=self.scan_steps, remat=remat,
+            )
+            self.state = replicate_state(self.state, self.mesh)
         elif strategy != "shard_map":
             raise ValueError(f"unknown strategy {strategy!r} "
-                             "(expected 'shard_map' or 'gspmd')")
+                             "(expected 'shard_map', 'gspmd' or 'pp')")
         elif tensor_parallel > 1 or seq_parallel > 1:
             raise ValueError("tensor_parallel/seq_parallel require "
                              "strategy='gspmd'")
         if data_parallel == 0:
             data_parallel = n_dev if n_dev > 1 else 1
-        if strategy == "gspmd":
+        if strategy in ("gspmd", "pp"):
             pass  # step built above
         elif data_parallel > 1:
             self.mesh = make_mesh({"dp": data_parallel})

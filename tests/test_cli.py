@@ -149,6 +149,36 @@ class TestFullModelCLI:
         assert "enc1_1" in meta["layers"] and "final" in meta["layers"]
 
 
+    def test_train_pipeline_parallel(self, workdir, tmp_path):
+        """--strategy pp: the GPipe pipeline (parallel/pipeline.py) reachable
+        from the product CLI — supervised full-U-Net recipe over a pp=2 mesh
+        on the virtual 8-device CPU backend, plus the loud rejection of
+        adversarial configs (VERDICT r3 item 2)."""
+        import yaml
+
+        cfg = yaml.safe_load((REPO / "config/config.yaml").read_text())
+        cfg.setdefault("model", {})["full"] = {"levels": 3, "base_channels": 8}
+        cfgp = tmp_path / "full_pp.yaml"
+        cfgp.write_text(yaml.safe_dump(cfg))
+        common = [str(REPO / "train.py"), "--config", str(cfgp),
+                  "--synthetic", "--platform", "cpu", "--model", "full",
+                  "--frame_length", "64", "--nonlinear",
+                  "--strategy", "pp", "--pp", "2", "--microbatches", "4",
+                  "--epochs", "2", "--batch_size", "16",
+                  "--samples_per_epoch", "32", "--skip_export",
+                  "--checkpoint_dir", str(tmp_path / "ckpt_pp")]
+        r = run(common + ["--n_critic", "0", "--adv_weight", "0",
+                          "--experiment", "cli_pp"], cwd=workdir)
+        assert r.returncode == 0, (r.stdout[-1500:], r.stderr[-1500:])
+        assert "Epoch 1:" in r.stdout
+        assert (tmp_path / "ckpt_pp" / "final_model").exists()
+
+        # adversarial configs must be rejected loudly, not mistrained
+        r2 = run(common + ["--n_critic", "2", "--experiment", "cli_pp_bad"],
+                 cwd=workdir)
+        assert r2.returncode != 0
+        assert "SUPERVISED" in (r2.stderr + r2.stdout)
+
     def test_benchmark_full_model(self, workdir):
         """benchmark_comparison --model full: tiny frame so the 5-level U-Net
         stays cheap on CPU; untrained-weights path (the reference's own

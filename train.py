@@ -57,10 +57,16 @@ def main():
     parser.add_argument("--samples_per_epoch", type=int, default=None)
     parser.add_argument("--scan_steps", type=int, default=None)
     parser.add_argument("--dp", type=int, default=None, help="data-parallel mesh size (0=all devices)")
-    parser.add_argument("--strategy", choices=["shard_map", "gspmd"], default="shard_map",
+    parser.add_argument("--strategy", choices=["shard_map", "gspmd", "pp"],
+                        default="shard_map",
                         help="multi-device strategy: shard_map = explicit dp "
                              "collectives (default); gspmd = pjit with "
-                             "compiler-inserted collectives (enables --tp/--sp)")
+                             "compiler-inserted collectives (enables "
+                             "--tp/--sp); pp = GPipe pipeline parallelism "
+                             "over the U-Net's encode|decode seam "
+                             "(SUPERVISED path only: requires --model full "
+                             "--n_critic 0 --adv_weight 0; see --pp/"
+                             "--microbatches and docs/SCALING.md)")
     parser.add_argument("--tp", type=int, default=1,
                         help="tensor-parallel mesh size (Megatron U-Net kernel "
                              "sharding; requires --strategy gspmd --model full)")
@@ -68,6 +74,13 @@ def main():
                         help="sequence-parallel mesh size (frame-length-sharded "
                              "activations with GSPMD conv halo exchanges; "
                              "requires --strategy gspmd)")
+    parser.add_argument("--pp", type=int, default=0,
+                        help="pipeline-parallel mesh size (GPipe stages; the "
+                             "U-Net splits into 2 stages, so --pp 2; "
+                             "0 = min(devices, 2); requires --strategy pp)")
+    parser.add_argument("--microbatches", type=int, default=8,
+                        help="GPipe microbatches per step for --strategy pp "
+                             "(batch_size must be divisible by this)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--platform", type=str, default=None,
                         help="force a jax platform (e.g. cpu) before backend init")
@@ -326,6 +339,8 @@ def main():
         strategy=args.strategy,
         tensor_parallel=args.tp,
         seq_parallel=args.sp,
+        pipeline_parallel=args.pp,
+        microbatches=args.microbatches,
         seed=args.seed,
         image_dir=args.image_dir,
         image_chunks=args.image_chunks,
