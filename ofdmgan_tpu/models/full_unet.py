@@ -215,6 +215,42 @@ def unet_param_shardings(params: Any, mesh) -> Any:
     return jax.tree_util.tree_map_with_path(rule, params)
 
 
+def unet_param_shardings_rowparallel(params: Any, mesh) -> Any:
+    """ROW-parallel-only tensor sharding: ``*_2``/``final``/``bottle*``
+    kernels shard C_in (P(None, 'tp', None)); every ``*_1`` kernel and all
+    biases replicate.
+
+    This is the sp x tp-safe variant of ``unet_param_shardings`` for
+    INFERENCE ONLY: XLA's SPMD partitioner miscompiles a conv whose LHS is
+    sharded on the spatial dim while its kernel is sharded on C_out (wrong
+    values, no error — tests/test_gspmd.py::test_sp_tp_conv_partitioner_
+    canary, scripts/sp_tp_conv_repro.py); the row-parallel form (kernel
+    sharded on C_in, partial sums all-reduced by GSPMD) partitions
+    correctly under spatial sharding in the FORWARD pass
+    (tests/test_gspmd.py::test_sp_tp_rowparallel_forward_inference_ok), but
+    its input-cotangent conv transposes into the C_out-sharded pattern, so
+    TRAINING still miscompiles — parallel/gspmd.py rejects any tp-sharded
+    kernel under sp, and sp x tp serving is the only supported use of this
+    rule until the upstream fix lands.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    tp = mesh.shape.get("tp", 1)
+
+    def rule(path, leaf):
+        names = [getattr(p, "key", str(p)) for p in path]
+        layer = names[-2] if len(names) >= 2 else ""
+        leafname = names[-1]
+        spec = P()
+        if tp > 1 and leaf.ndim >= 1:
+            if (layer.endswith("_2") or layer in ("final", "bottle1", "bottle2")) \
+                    and leafname == "kernel" and leaf.shape[-2] % tp == 0:
+                spec = P(None, "tp", None)
+        return NamedSharding(mesh, spec)
+
+    return jax.tree_util.tree_map_with_path(rule, params)
+
+
 def full_unet_layer_names(levels: int = 5) -> List[str]:
     """Reference export ordering (export/generator/metadata.json)."""
     names = []

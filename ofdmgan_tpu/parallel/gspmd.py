@@ -25,9 +25,12 @@ Mesh axes understood by this module:
     [B, L, 2] activation sharded across devices, conv halo exchanges
     inserted by GSPMD's spatial partitioner (useful when L is too long
     for one chip's VMEM/HBM, e.g. very long OFDM captures). dp x sp is
-    layout-equivalent to pure dp (tested); sp x tp on one mesh is
-    guarded off due to an XLA partitioner miscompile (see the canary
-    test referenced below).
+    layout-equivalent to pure dp (tested); sp x tp is supported with
+    the ROW-parallel kernel rule
+    (models/full_unet.unet_param_shardings_rowparallel) — COLUMN-
+    parallel (C_out-sharded) kernels are guarded off under sp due to
+    an XLA partitioner miscompile (see the canary test and
+    scripts/sp_tp_conv_repro.py).
 """
 
 from __future__ import annotations
@@ -77,20 +80,35 @@ def make_gspmd_train_step(
     # unchanged, only the inserted collectives differ (layout equivalence
     # asserted in __graft_entry__.dryrun_multichip and tests/test_gspmd.py).
     sp = "sp" if mesh.shape.get("sp", 1) > 1 else None
-    if sp and mesh.shape.get("tp", 1) > 1 and (
-            gen_tp_rule is not None or critic_tp_rule is not None):
-        # jax 0.9.0 / XLA miscompiles a convolution whose LHS is sharded on
-        # the spatial dim while its kernel is sharded on C_out (the Megatron
-        # column half of the tp rule): the partitioned program returns wrong
-        # VALUES, not an error (minimal repro + canary:
-        # tests/test_gspmd.py::test_sp_tp_conv_partitioner_canary — if that
-        # canary reports the upstream fix, lift this guard). Until then the
-        # supported 3-D layouts are dp x sp (this module) and dp x tp.
-        raise ValueError(
-            "sp x tp on one mesh is disabled: XLA's SPMD partitioner "
-            "miscompiles spatially-sharded convs with C_out-sharded kernels "
-            "(see parallel/gspmd.py + the canary test). Use dp x sp or "
-            "dp x tp.")
+
+    def _guard_sp_tp(shardings):
+        # jax 0.9.0 / XLA SPMD miscompiles spatially-partitioned convs with
+        # tp-sharded kernels — wrong VALUES, no error (full empirical map +
+        # upstream-filing reproducer: scripts/sp_tp_conv_repro.py; canaries:
+        # tests/test_gspmd.py::test_sp_tp_conv_partitioner_canary /
+        # test_sp_conv_weight_grad_canary — if they report the upstream
+        # fix, delete this guard). COLUMN-parallel (C_out-sharded) kernels
+        # fail in FORWARD; ROW-parallel (C_in-sharded) kernels are correct
+        # forward but their input-cotangent conv transposes into the
+        # C_out-sharded pattern, so TRAINING is broken for both tp forms.
+        # This is a training builder, hence: no tp-sharded conv kernel of
+        # any form while the mesh has an sp axis. (Replicated-kernel dp x
+        # sp training is accepted — its value equivalence to pure dp is
+        # asserted per-program by tests and the dryrun.)
+        if not sp:
+            return
+        for s in jax.tree_util.tree_leaves(
+                shardings, is_leaf=lambda x: isinstance(x, NamedSharding)):
+            spec = getattr(s, "spec", None)
+            if spec and len(spec) >= 3 and any(a is not None for a in spec):
+                raise ValueError(
+                    "sp x tp training is disabled: XLA's SPMD partitioner "
+                    "miscompiles spatially-sharded convs with tp-sharded "
+                    "kernels (column-parallel in forward; row-parallel in "
+                    f"backward) — kernel spec {spec} under an sp mesh. See "
+                    "scripts/sp_tp_conv_repro.py and docs/SCALING.md. Use "
+                    "dp x sp or dp x tp; the row-parallel rule is safe for "
+                    "inference-only sharding.")
 
     def batch_fn(key, n):
         from ..signal.datagen import synthetic_batch
@@ -127,6 +145,7 @@ def make_gspmd_train_step(
     def _place(params, rule):
         sh = (rule(params, mesh) if rule is not None
               else jax.tree_util.tree_map(lambda _: replicated, params))
+        _guard_sp_tp(sh)
         return _put(params, sh)
 
     def _opt_on_mesh(tx, params, rule):

@@ -264,13 +264,22 @@ class Trainer:
             from ..models.full_unet import unet_param_shardings
             from ..parallel import make_gspmd_train_step
 
+            if tensor_parallel > 1 and seq_parallel > 1:
+                # XLA SPMD miscompiles spatially-sharded convs with
+                # tp-sharded kernels in BOTH Megatron forms (forward for
+                # column-parallel, backward for row-parallel) — see
+                # scripts/sp_tp_conv_repro.py and parallel/gspmd.py
+                raise ValueError(
+                    "sp x tp training is disabled (upstream XLA SPMD conv "
+                    "miscompile — scripts/sp_tp_conv_repro.py, "
+                    "docs/SCALING.md): use dp x sp or dp x tp")
+            tp_rule = unet_param_shardings if tensor_parallel > 1 else None
             self.mesh = make_mesh(axes)
             make_state, self._step = make_gspmd_train_step(
                 train_gen_apply, train_critic_apply,
                 self.tx_g, self.tx_d, self.dg_cfg, self.loss_cfg,
                 global_batch_size=self.batch_size, mesh=self.mesh,
-                gen_tp_rule=(unet_param_shardings if tensor_parallel > 1
-                             else None),
+                gen_tp_rule=tp_rule,
                 scan_steps=self.scan_steps,
                 matmul_precision=matmul_precision,
             )

@@ -89,17 +89,89 @@ class TestGSPMD:
         rel = abs(sums[0] - sums[1]) / max(1e-12, abs(sums[0]))
         assert rel < 1e-6, (sums, rel)
 
-    def test_sp_tp_guard_raises(self):
+    def test_sp_tp_guard_rejects_tp_kernels(self):
+        # tp-sharded kernels under sp hit the XLA miscompile in forward
+        # (column-parallel) or backward (row-parallel) — the canaries below
+        # — so placing EITHER rule on an sp mesh must raise; the guard
+        # fires on the actual shardings at make_state time.
+        from ofdmgan_tpu.models.full_unet import unet_param_shardings_rowparallel
+
         gen = FullUNetGenerator(frame_length=64, levels=3, base_channels=8)
         critic = FullDiscriminator(frame_length=64, levels=3, base_channels=8)
+        x0 = jnp.zeros((1, 64, 2))
+        pg, pd = gen.init(KEY, x0), critic.init(KEY, x0, x0)
         mesh = make_mesh({"dp": 2, "sp": 2, "tp": 2})
-        with pytest.raises(ValueError, match="sp x tp"):
-            make_gspmd_train_step(
+        for rule in (unet_param_shardings, unet_param_shardings_rowparallel):
+            make_state, _ = make_gspmd_train_step(
                 gen.apply, critic.apply, make_adam(1e-4), make_adam(1e-4),
                 DatagenConfig.make(frame_length=64), LossConfig(n_critic=1),
                 global_batch_size=16, mesh=mesh,
-                gen_tp_rule=unet_param_shardings, donate=False,
+                gen_tp_rule=rule, donate=False,
             )
+            with pytest.raises(ValueError, match="sp x tp"):
+                make_state(pg, pd)
+
+    def test_sp_tp_rowparallel_forward_inference_ok(self):
+        # The row-parallel rule IS safe for inference under sp: forward
+        # values match the unsharded apply (its backward is what
+        # miscompiles — test_sp_conv_weight_grad_canary).
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ofdmgan_tpu.models.full_unet import unet_param_shardings_rowparallel
+
+        gen = FullUNetGenerator(frame_length=64, levels=3, base_channels=8)
+        pg = gen.init(KEY, jnp.zeros((1, 64, 2)))
+        mesh = make_mesh({"dp": 2, "sp": 2, "tp": 2})
+        sh = unet_param_shardings_rowparallel(pg, mesh)
+        import flax
+
+        specs = flax.traverse_util.flatten_dict(
+            jax.tree_util.tree_map(lambda s: s.spec, sh)["params"])
+        assert any("tp" in str(s) for s in specs.values())
+        pgs = jax.device_put(pg, sh)
+        x = jnp.asarray(np.random.default_rng(1).normal(size=(8, 64, 2)),
+                        jnp.float32)
+        xs = jax.device_put(x, NamedSharding(mesh, P("dp", "sp", None)))
+        y = jax.jit(gen.apply)(pgs, xs)
+        y_ref = jax.jit(gen.apply)(pg, x)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                   atol=1e-5)
+
+    def test_sp_conv_weight_grad_canary(self):
+        # Second canary (round 4): XLA SPMD also miscompiles the WEIGHT
+        # gradient of a spatially-partitioned conv — even with a fully
+        # REPLICATED kernel — when the partitioner keeps the grad convs
+        # spatially sharded (scripts/sp_tp_conv_repro.py case 2). The
+        # product dp x sp TRAINING path is nevertheless value-equivalent to
+        # pure dp for the compiled training-step programs
+        # (test_full_unet_dp_sp_layout_equivalence) — this canary tracks
+        # the underlying primitive bug so the guard can be lifted when
+        # upstream fixes it.
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = make_mesh({"dp": 2, "sp": 2, "tp": 2})
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(8, 64, 8)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(3, 8, 16)), jnp.float32)
+
+        def conv(h, w):
+            return jax.lax.conv_general_dilated(
+                h, w, (1,), ((1, 1),), dimension_numbers=("NWC", "WIO", "NWC"))
+
+        def loss(h, w):
+            return jnp.sum(jnp.sin(conv(h, w)))
+
+        _, gw_ref = jax.jit(jax.grad(loss, (0, 1)))(x, k)
+        xs = jax.device_put(x, NamedSharding(mesh, P("dp", "sp", None)))
+        ks = jax.device_put(k, NamedSharding(mesh, P(None, None, None)))
+        _, gw = jax.jit(jax.grad(loss, (0, 1)))(xs, ks)
+        diff = float(jnp.max(jnp.abs(gw - gw_ref)))
+        if diff < 1e-3:
+            pytest.fail(
+                "spatially-partitioned conv WEIGHT gradients now agree "
+                f"(max abs diff {diff:.2e}) — the upstream miscompile is "
+                "fixed; re-evaluate the sp x tp guard in parallel/gspmd.py "
+                "and delete this canary.")
 
     def test_sp_tp_conv_partitioner_canary(self):
         # Minimal repro of the jax 0.9.0 XLA SPMD miscompile that motivates
