@@ -59,6 +59,11 @@ def make_gspmd_train_step(
     scan_steps: int = 1,
     matmul_precision: str = "float32",
     donate: bool = True,
+    batch_fn: Callable | None = None,
+    act_dtype: str | None = None,
+    critic_unroll: int = 1,
+    critic_apply_gp: Callable | None = None,
+    fuse_realfake: bool = False,
 ) -> Tuple[Callable, Callable]:
     """Build ``(make_state, step)``.
 
@@ -110,10 +115,18 @@ def make_gspmd_train_step(
                     "dp x sp or dp x tp; the row-parallel rule is safe for "
                     "inference-only sharding.")
 
-    def batch_fn(key, n):
-        from ..signal.datagen import synthetic_batch
+    user_batch_fn = batch_fn
 
-        batch = synthetic_batch(key, n, dg_cfg)
+    def sharded_batch_fn(key, n):
+        # GSPMD data path: one global key (unlike shard_map's per-device
+        # fold_in), tensors constrained onto the dp (and sp) axes — XLA
+        # partitions the datagen itself
+        if user_batch_fn is not None:
+            batch = user_batch_fn(key, n)
+        else:
+            from ..signal.datagen import synthetic_batch
+
+            batch = synthetic_batch(key, n, dg_cfg)
         return jax.tree_util.tree_map(
             lambda x: jax.lax.with_sharding_constraint(
                 x,
@@ -124,8 +137,10 @@ def make_gspmd_train_step(
 
     inner = build_train_step(
         gen_apply, critic_apply, tx_g, tx_d, dg_cfg, loss_cfg,
-        global_batch_size, scan_steps=scan_steps, batch_fn=batch_fn,
-        matmul_precision=matmul_precision,
+        global_batch_size, scan_steps=scan_steps, batch_fn=sharded_batch_fn,
+        matmul_precision=matmul_precision, act_dtype=act_dtype,
+        critic_unroll=critic_unroll, critic_apply_gp=critic_apply_gp,
+        fuse_realfake=fuse_realfake,
     )
 
     def _put(tree, shardings):

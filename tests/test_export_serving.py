@@ -87,3 +87,55 @@ def test_full_model_export_small():
     x = jax.random.normal(jax.random.PRNGKey(1), (5, 64, 2), jnp.float32)
     np.testing.assert_allclose(np.asarray(back.call(x)),
                                np.asarray(apply(x)), rtol=0, atol=1e-2)
+
+
+class TestCommittedArtifacts:
+    """Parity for the COMMITTED results/serving/*.stablehlo artifacts (not
+    just freshly-exported ones) so they cannot rot silently as model code
+    evolves (VERDICT r3 item 9): deserialize on the CPU backend, assert
+    byte integrity vs the metadata sha256, and numerical equality with the
+    live forward at a pinned batch."""
+
+    def _load(self, stem):
+        import hashlib
+
+        from jax import export as jexport
+
+        art = REPO / "results" / "serving" / f"{stem}.stablehlo"
+        meta = json.loads(
+            (REPO / "results" / "serving" / f"{stem}.metadata.json").read_text())
+        blob = art.read_bytes()
+        assert len(blob) == meta["artifact_bytes"]
+        assert hashlib.sha256(blob).hexdigest() == meta["artifact_sha256"]
+        return jexport.deserialize(blob), meta
+
+    def test_committed_mini_residual_parity(self):
+        from ofdmgan_tpu.models.flat import make_generator_flat_apply
+        from ofdmgan_tpu.utils.params_io import load_params_tree
+
+        back, meta = self._load("mini_residual_nonlinear")
+        params = load_params_tree(str(REPO / meta["checkpoint"]))
+        apply = make_generator_flat_apply(input_residual=True)
+        x = jax.random.normal(jax.random.PRNGKey(7), (9, 16, 2), jnp.float32)
+        np.testing.assert_allclose(np.asarray(back.call(x)),
+                                   np.asarray(apply(params, x)),
+                                   rtol=0, atol=1e-6)
+
+    def test_committed_full_unet_parity(self):
+        from ofdmgan_tpu.models.unet_infer import make_unet_infer_apply
+        from ofdmgan_tpu.utils.params_io import load_params_tree
+
+        back, meta = self._load("full_awgn_nonlinear")
+        params = load_params_tree(str(REPO / meta["checkpoint"]))
+        baked = jax.tree.map(lambda a: jnp.asarray(a, jnp.bfloat16), params)
+        inner = make_unet_infer_apply(act_dtype=jnp.bfloat16)
+
+        def apply(x):
+            with jax.default_matmul_precision("bfloat16"):
+                return inner(baked, x.astype(jnp.bfloat16)).astype(jnp.float32)
+
+        x = jax.random.normal(jax.random.PRNGKey(8), (2, 1024, 2), jnp.float32)
+        y_art = np.asarray(back.call(x))
+        y_ref = np.asarray(jax.jit(apply)(x))
+        assert y_art.shape == (2, 1024, 2)
+        np.testing.assert_allclose(y_art, y_ref, rtol=0, atol=2e-2)
