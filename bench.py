@@ -197,6 +197,18 @@ def main():
                          "chip: 3.03e7 vs 3.76e7 — the [2B, F] tensors "
                          "fall out of VMEM, the same cliff as batch "
                          "131072 (results/r3_perf_queue5.jsonl)")
+    ap.add_argument("--premap", action=argparse.BooleanOptionalAction,
+                    default=False,
+                    help="expansion-once flat step (requires --flat): the "
+                         "Toeplitz dense matrices are built ONCE per "
+                         "parameter value per loss (models/flat."
+                         "make_*_flat_parts + training/wgan_gp gen_premap/"
+                         "critic_premap) instead of once per apply site — "
+                         "all apply-site cotangents accumulate into the "
+                         "matrices (MXU matmul transposes) and a single "
+                         "scatter-free band-sum transpose reaches the conv "
+                         "kernels, eliminating the 9.3%% dynamic-update-"
+                         "slice category of the r3 op table")
     ap.add_argument("--conv_expand", default="dus",
                     choices=["dus", "onehot"],
                     help="Toeplitz expansion impl in ops/dense_conv.py: "
@@ -319,19 +331,32 @@ def main():
     else:
         gen_apply, critic_apply, batch_fn = gen.apply, critic.apply, None
         critic_apply_gp = None
+        gen_premap = critic_premap = None
         if args.flat:
             from ofdmgan_tpu.models.flat import (make_critic_flat_apply,
-                                                 make_generator_flat_apply)
+                                                 make_critic_flat_parts,
+                                                 make_generator_flat_apply,
+                                                 make_generator_flat_parts)
             from ofdmgan_tpu.signal.datagen import synthetic_batch_flat
 
             mm_model = "ambient" if args.mm == "tf32x3_gp" else args.mm
-            gen_apply = make_generator_flat_apply(act_dtype=args.act_dtype,
-                                                  mm=mm_model)
-            critic_apply = make_critic_flat_apply(act_dtype=args.act_dtype,
-                                                  mm=mm_model)
-            if args.mm == "tf32x3_gp":
-                critic_apply_gp = make_critic_flat_apply(
-                    act_dtype=args.act_dtype, mm="tf32x3")
+            if args.premap:
+                gen_premap, gen_apply = make_generator_flat_parts(
+                    act_dtype=args.act_dtype, mm=mm_model)
+                critic_premap, critic_apply = make_critic_flat_parts(
+                    act_dtype=args.act_dtype, mm=mm_model)
+                if args.mm == "tf32x3_gp":
+                    # same premapped matrices, dots pinned to bf16x3
+                    _, critic_apply_gp = make_critic_flat_parts(
+                        act_dtype=args.act_dtype, mm="tf32x3")
+            else:
+                gen_apply = make_generator_flat_apply(act_dtype=args.act_dtype,
+                                                      mm=mm_model)
+                critic_apply = make_critic_flat_apply(act_dtype=args.act_dtype,
+                                                      mm=mm_model)
+                if args.mm == "tf32x3_gp":
+                    critic_apply_gp = make_critic_flat_apply(
+                        act_dtype=args.act_dtype, mm="tf32x3")
 
             def batch_fn(k, n):
                 # matmul-form datagen born flat [B, 32]: no FFT lowering, no
@@ -340,6 +365,8 @@ def main():
                 return synthetic_batch_flat(k, n, dg)
         elif args.mm != "ambient":
             ap.error("--mm requires --flat")
+        elif args.premap:
+            ap.error("--premap requires --flat")
 
         step = jax.jit(
             make_train_step(
@@ -353,6 +380,7 @@ def main():
                 critic_apply_gp=critic_apply_gp, remat=args.remat,
                 outer_unroll=args.outer_unroll,
                 fuse_realfake=args.fuse_realfake,
+                gen_premap=gen_premap, critic_premap=critic_premap,
             ),
             donate_argnums=0,
             compiler_options=compiler_options,

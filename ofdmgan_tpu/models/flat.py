@@ -125,6 +125,61 @@ def _tf32_matmul_jvp(primals, tangents):
     return y, dy
 
 
+def make_generator_flat_parts(
+    frame_length: int = 16,
+    input_channels: int = 2,
+    output_channels: int = 2,
+    enc1_channels: int = 4,
+    bottleneck_channels: int = 8,
+    dec1_channels: int = 4,
+    leaky_slope: float = 0.2,
+    act_dtype: str | None = None,
+    input_residual: bool = False,
+    mm: str = "ambient",
+) -> tuple[Callable, Callable]:
+    """Returns ``(premap, apply_mats)`` with
+    ``apply_mats(premap(variables), x) == make_generator_flat_apply(...)``.
+
+    The split lets the train step expand the Toeplitz matrices ONCE per
+    parameter value (training/wgan_gp.py ``gen_premap``) instead of once
+    per apply site: autodiff then accumulates all apply-site cotangents
+    into the dense matrices (matmul transposes — MXU work) and runs ONE
+    scatter-free band-sum transpose per matrix
+    (ops/dense_conv.conv1d_dense_matrix_scatterfree), eliminating the
+    per-site dynamic-update-slice chains that cost 9.3% of device time in
+    round 3 (results/op_table_r3_headline.json)."""
+    L = frame_length
+    u1 = jnp.asarray(_upsample_matrix(L // 4, bottleneck_channels))
+    u2 = jnp.asarray(_upsample_matrix(L // 2, dec1_channels))
+    cast = (lambda a: a.astype(act_dtype)) if act_dtype else (lambda a: a)
+    dot = {"ambient": _mm, "tf32x3": tf32_matmul}[mm]
+
+    def premap(variables):
+        p = variables["params"]
+        a_e = conv1d_dense_matrix(p["enc1"]["conv_kernel"], L, 2, 1)
+        b_e = jnp.tile(p["enc1"]["conv_bias"], L // 2)
+        a_b = conv1d_dense_matrix(p["bottleneck"]["conv_kernel"], L // 2, 2, 1)
+        b_b = jnp.tile(p["bottleneck"]["conv_bias"], L // 4)
+        a_d = u1 @ conv1d_dense_matrix(p["dec1"]["conv_kernel"], L // 2, 1, 1)
+        b_d = jnp.tile(p["dec1"]["conv_bias"], L // 2)
+        a_o = u2 @ conv1d_dense_matrix(p["out_conv_kernel"], L, 1, 1)
+        b_o = jnp.tile(p["out_conv_bias"], L)
+        return (a_e, b_e, a_b, b_b, a_d, b_d, a_o, b_o)
+
+    def apply_mats(mats, x):
+        a_e, b_e, a_b, b_b, a_d, b_d, a_o, b_o = mats
+        xf = x.reshape(x.shape[0], L * input_channels)
+        h1 = cast(leaky_relu(dot(xf, a_e) + b_e, leaky_slope))
+        h2 = cast(leaky_relu(dot(h1, a_b) + b_b, leaky_slope))
+        h3 = cast(leaky_relu(dot(h2, a_d) + b_d, leaky_slope))
+        h4 = h3 + h1  # additive skip (generator.py:171)
+        out = dot(h4, a_o) + b_o
+        y = xf.astype(out.dtype) + out if input_residual else jnp.tanh(out)
+        return y.reshape(x.shape[0], L, output_channels) if x.ndim == 3 else y
+
+    return premap, apply_mats
+
+
 def make_generator_flat_apply(
     frame_length: int = 16,
     input_channels: int = 2,
@@ -144,33 +199,64 @@ def make_generator_flat_apply(
     ``mm`` selects the batch-side matmul implementation — see
     ``make_critic_flat_apply``. The tiny parameter-side folds (``U @ A``)
     always ride the ambient precision (f32 operands, loop-invariant cost)."""
+    premap, apply_mats = make_generator_flat_parts(
+        frame_length, input_channels, output_channels, enc1_channels,
+        bottleneck_channels, dec1_channels, leaky_slope, act_dtype,
+        input_residual, mm)
+
+    def apply(variables, x):
+        return apply_mats(premap(variables), x)
+
+    return apply
+
+
+def make_critic_flat_parts(
+    frame_length: int = 16,
+    conv1_channels: int = 8,
+    conv2_channels: int = 16,
+    leaky_slope: float = 0.2,
+    act_dtype: str | None = None,
+    mm: str = "ambient",
+) -> tuple[Callable, Callable]:
+    """Returns ``(premap, apply_mats)`` — the expansion-once split of
+    ``make_critic_flat_apply`` (see ``make_generator_flat_parts``).
+
+    The concat split uses KERNEL channel slices (``w[:, :2, :]`` /
+    ``w[:, 2:, :]``) rather than dense-matrix row gathers: identical values
+    (the Toeplitz expansion is per-input-channel), and a slice's autodiff
+    transpose is a pad — fused — where a gather's is a scatter."""
     L = frame_length
-    u1 = jnp.asarray(_upsample_matrix(L // 4, bottleneck_channels))
-    u2 = jnp.asarray(_upsample_matrix(L // 2, dec1_channels))
     cast = (lambda a: a.astype(act_dtype)) if act_dtype else (lambda a: a)
     dot = {"ambient": _mm, "tf32x3": tf32_matmul}[mm]
 
-    def apply(variables, x):
+    def premap(variables):
         p = variables["params"]
-        xf = x.reshape(x.shape[0], L * input_channels)
-        a_e = conv1d_dense_matrix(p["enc1"]["conv_kernel"], L, 2, 1)
-        b_e = jnp.tile(p["enc1"]["conv_bias"], L // 2)
-        a_b = conv1d_dense_matrix(p["bottleneck"]["conv_kernel"], L // 2, 2, 1)
-        b_b = jnp.tile(p["bottleneck"]["conv_bias"], L // 4)
-        a_d = u1 @ conv1d_dense_matrix(p["dec1"]["conv_kernel"], L // 2, 1, 1)
-        b_d = jnp.tile(p["dec1"]["conv_bias"], L // 2)
-        a_o = u2 @ conv1d_dense_matrix(p["out_conv_kernel"], L, 1, 1)
-        b_o = jnp.tile(p["out_conv_bias"], L)
+        # concat flat index t*4 + {0,1}=candidate, {2,3}=condition; split
+        # conv1's KERNEL channels so the concat never materializes:
+        # expand(w[:, :2, :]) rows at t*2+c equal expand(w)'s rows at t*4+c
+        w1 = p["conv1_kernel"]
+        a1c = conv1d_dense_matrix(w1[:, :2, :], L, 2, 1)
+        a1d = conv1d_dense_matrix(w1[:, 2:, :], L, 2, 1)
+        b1 = jnp.tile(p["conv1_bias"], L // 2)
+        a2 = conv1d_dense_matrix(p["conv2_kernel"], L // 2, 2, 1)
+        b2 = jnp.tile(p["conv2_bias"], L // 4)
+        # pool+dense folded: q[t*C+c] = dense_kernel[c, 0]
+        q = jnp.tile(p["dense"]["kernel"][:, 0], L // 4)[:, None]
+        return (a1c, a1d, b1, a2, b2, q, p["dense"]["bias"])
 
-        h1 = cast(leaky_relu(dot(xf, a_e) + b_e, leaky_slope))
-        h2 = cast(leaky_relu(dot(h1, a_b) + b_b, leaky_slope))
-        h3 = cast(leaky_relu(dot(h2, a_d) + b_d, leaky_slope))
-        h4 = h3 + h1  # additive skip (generator.py:171)
-        out = dot(h4, a_o) + b_o
-        y = xf.astype(out.dtype) + out if input_residual else jnp.tanh(out)
-        return y.reshape(x.shape[0], L, output_channels) if x.ndim == 3 else y
+    def apply_mats(mats, candidate, condition):
+        a1c, a1d, b1, a2, b2, q, bias = mats
+        b = candidate.shape[0]
+        candf = candidate.reshape(b, L * 2)
+        condf = condition.reshape(b, L * 2)
+        z1 = dot(candf, a1c) + dot(condf, a1d) + b1
+        h1 = cast(leaky_relu(z1, leaky_slope))
+        h2 = leaky_relu(dot(h1, a2) + b2, leaky_slope)
+        # h2 @ q accumulates in f32 (q is f32) = the f32 sum pool of
+        # models/critic.py:48
+        return dot(h2, q) + bias
 
-    return apply
+    return premap, apply_mats
 
 
 def make_critic_flat_apply(
@@ -189,32 +275,11 @@ def make_critic_flat_apply(
     decomposition (``tf32_matmul``) regardless of ambient context — built
     for the gradient-penalty chain, whose HIGH-precision dots XLA otherwise
     lowers through ~5x-slower VPU emitters (see tf32_matmul docstring)."""
-    L = frame_length
-    cin = 4  # candidate I/Q + condition I/Q concatenated on channels
-    # concat flat index t*4 + {0,1}=candidate, {2,3}=condition; split conv1's
-    # dense-matrix ROWS so the concat never materializes
-    rows_cand = np.array([t * cin + c for t in range(L) for c in (0, 1)])
-    rows_cond = np.array([t * cin + c for t in range(L) for c in (2, 3)])
-    cast = (lambda a: a.astype(act_dtype)) if act_dtype else (lambda a: a)
-    dot = {"ambient": _mm, "tf32x3": tf32_matmul}[mm]
+    premap, apply_mats = make_critic_flat_parts(
+        frame_length, conv1_channels, conv2_channels, leaky_slope,
+        act_dtype, mm)
 
     def apply(variables, candidate, condition):
-        p = variables["params"]
-        b = candidate.shape[0]
-        candf = candidate.reshape(b, L * 2)
-        condf = condition.reshape(b, L * 2)
-        a1 = conv1d_dense_matrix(p["conv1_kernel"], L, 2, 1)
-        b1 = jnp.tile(p["conv1_bias"], L // 2)
-        a2 = conv1d_dense_matrix(p["conv2_kernel"], L // 2, 2, 1)
-        b2 = jnp.tile(p["conv2_bias"], L // 4)
-        # pool+dense folded: q[t*C+c] = dense_kernel[c, 0]
-        q = jnp.tile(p["dense"]["kernel"][:, 0], L // 4)[:, None]
-
-        z1 = dot(candf, a1[rows_cand]) + dot(condf, a1[rows_cond]) + b1
-        h1 = cast(leaky_relu(z1, leaky_slope))
-        h2 = leaky_relu(dot(h1, a2) + b2, leaky_slope)
-        # h2 @ q accumulates in f32 (q is f32) = the f32 sum pool of
-        # models/critic.py:48
-        return dot(h2, q) + p["dense"]["bias"]
+        return apply_mats(premap(variables), candidate, condition)
 
     return apply

@@ -66,6 +66,30 @@ def _placement_np(k: int, l_in: int, l_out: int, stride: int, padding: int):
     return p
 
 
+def conv1d_dense_matrix_scatterfree(
+    w: jnp.ndarray, l_in: int, stride: int, padding: int
+) -> jnp.ndarray:
+    """The "onehot" Toeplitz expansion, unconditionally: one broadcast-
+    multiply-reduce of ``w`` against the constant 0/1 placement tensor.
+
+    BIT-EXACT equal to the DUS-chain expansion (exactly one placement entry
+    is nonzero per output cell, and adding 0.0 terms is exact in f32), but
+    every derivative order is a fused dense contraction — the forward is an
+    elementwise multiply-reduce, and its autodiff transpose is the band-sum
+    ``dw[k,i,o] = Σ_{a,b} P[k,a,b]·dA[(a,i),(b,o)]`` — so no
+    dynamic-update-slice / scatter-add ever appears in the train step
+    (round-3 op table attributed 9.3% of device time to the DUS backward,
+    results/op_table_r3_headline.json; the premapped flat path,
+    models/flat.make_*_flat_parts, builds on this).
+    """
+    k, cin, cout = w.shape
+    l_out = conv1d_output_length(l_in, k, stride, padding)
+    p = jnp.asarray(_placement_np(k, l_in, l_out, stride, padding), w.dtype)
+    # [k,1,cin,1,cout] * [k,l_in,1,l_out,1] -> sum_k -> [l_in,cin,l_out,cout]
+    a = (w[:, None, :, None, :] * p[:, :, None, :, None]).sum(0)
+    return a.reshape(l_in * cin, l_out * cout)
+
+
 def conv1d_dense_matrix(w: jnp.ndarray, l_in: int, stride: int, padding: int) -> jnp.ndarray:
     """Expand a conv kernel ``[K, C_in, C_out]`` into the equivalent dense
     matrix ``[L_in*C_in, L_out*C_out]`` for zero-padded strided conv1d.
@@ -75,11 +99,7 @@ def conv1d_dense_matrix(w: jnp.ndarray, l_in: int, stride: int, padding: int) ->
     k, cin, cout = w.shape
     l_out = conv1d_output_length(l_in, k, stride, padding)
     if CONV_EXPAND == "onehot":
-        p = jnp.asarray(_placement_np(k, l_in, l_out, stride, padding),
-                        w.dtype)
-        # [k,1,cin,1,cout] * [k,l_in,1,l_out,1] -> sum_k -> [l_in,cin,l_out,cout]
-        a = (w[:, None, :, None, :] * p[:, :, None, :, None]).sum(0)
-        return a.reshape(l_in * cin, l_out * cout)
+        return conv1d_dense_matrix_scatterfree(w, l_in, stride, padding)
     a = jnp.zeros((l_in * cin, l_out * cout), dtype=w.dtype)
     for t_out in range(l_out):
         for kk in range(k):

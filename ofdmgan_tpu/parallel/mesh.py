@@ -74,6 +74,8 @@ def make_sharded_train_step(
     batch_fn: Optional[Callable] = None,
     act_dtype: Optional[str] = None,
     critic_unroll: int = 1,
+    gen_premap: Optional[Callable] = None,
+    critic_premap: Optional[Callable] = None,
 ) -> Callable[[TrainState, jax.Array], Tuple[TrainState, dict]]:
     """Data-parallel fused train step over ``mesh`` axis ``dp``.
 
@@ -106,6 +108,8 @@ def make_sharded_train_step(
         batch_fn=batch_fn,
         act_dtype=act_dtype,
         critic_unroll=critic_unroll,
+        gen_premap=gen_premap,
+        critic_premap=critic_premap,
     )
 
     def per_replica(state: TrainState, key: jax.Array):

@@ -76,6 +76,7 @@ class Trainer:
         act_dtype: Optional[str] = None,
         flat_step: bool = False,
         mm: str = "ambient",
+        premap: bool = False,
         critic_unroll: int = 1,
         remat: bool = False,
         image_chunks: bool = False,
@@ -185,20 +186,23 @@ class Trainer:
         train_gen_apply = self.generator.apply
         train_critic_apply = self.discriminator.apply
         critic_apply_gp = None
+        self._gen_premap = self._critic_premap = None
         user_batch_fn = batch_fn  # image-dataset sampler (drives eval below)
         if flat_step:
             if qat or rtl_faithful or generator is not None:
                 raise ValueError("flat_step supports the standard mini "
                                  "model family (float, tanh/residual head)")
             from ..models.flat import (make_critic_flat_apply,
-                                       make_generator_flat_apply)
+                                       make_critic_flat_parts,
+                                       make_generator_flat_apply,
+                                       make_generator_flat_parts)
 
             # "tf32x3_gp" = ambient (bf16 under bf16_tf32gp) model dots with
             # JUST the gradient-penalty chain on explicit bf16x3 dots — the
             # bench.py --mm tf32x3_gp config (fastest measured on chip,
             # results/r3_perf_queue.jsonl)
             mm_model = "ambient" if mm == "tf32x3_gp" else mm
-            train_gen_apply = make_generator_flat_apply(
+            gen_kw = dict(
                 frame_length=frame_length,
                 enc1_channels=gcfg.get("enc1_channels", 4),
                 bottleneck_channels=gcfg.get("bottleneck_channels", 8),
@@ -206,25 +210,34 @@ class Trainer:
                 leaky_slope=gcfg.get("leaky_slope", 0.2),
                 act_dtype=act_dtype,
                 input_residual=gcfg.get("input_residual", False),
-                mm=mm_model,
             )
-            train_critic_apply = make_critic_flat_apply(
+            crit_kw = dict(
                 frame_length=frame_length,
                 conv1_channels=dcfg.get("conv1_channels", 8),
                 conv2_channels=dcfg.get("conv2_channels", 16),
                 leaky_slope=dcfg.get("leaky_slope", 0.2),
                 act_dtype=act_dtype,
-                mm=mm_model,
             )
-            if mm == "tf32x3_gp":
-                critic_apply_gp = make_critic_flat_apply(
-                    frame_length=frame_length,
-                    conv1_channels=dcfg.get("conv1_channels", 8),
-                    conv2_channels=dcfg.get("conv2_channels", 16),
-                    leaky_slope=dcfg.get("leaky_slope", 0.2),
-                    act_dtype=act_dtype,
-                    mm="tf32x3",
-                )
+            if premap:
+                # expansion-once step (bench.py --premap, the r4 headline):
+                # Toeplitz dense matrices built once per parameter value per
+                # loss; pair with conv_expand='onehot' for the scatter-free
+                # band-sum backward (ops/dense_conv.py)
+                self._gen_premap, train_gen_apply = make_generator_flat_parts(
+                    mm=mm_model, **gen_kw)
+                self._critic_premap, train_critic_apply = \
+                    make_critic_flat_parts(mm=mm_model, **crit_kw)
+                if mm == "tf32x3_gp":
+                    _, critic_apply_gp = make_critic_flat_parts(
+                        mm="tf32x3", **crit_kw)
+            else:
+                train_gen_apply = make_generator_flat_apply(
+                    mm=mm_model, **gen_kw)
+                train_critic_apply = make_critic_flat_apply(
+                    mm=mm_model, **crit_kw)
+                if mm == "tf32x3_gp":
+                    critic_apply_gp = make_critic_flat_apply(
+                        mm="tf32x3", **crit_kw)
             if (batch_fn is None and not self.dg_cfg.nonlinear
                     and self.dg_cfg.channel.kind == "awgn"):
                 from ..signal.datagen import synthetic_batch_flat
@@ -233,6 +246,8 @@ class Trainer:
                 batch_fn = lambda k, n: synthetic_batch_flat(k, n, dgc)
         elif mm != "ambient":
             raise ValueError("mm requires flat_step")
+        elif premap:
+            raise ValueError("premap requires flat_step")
 
         self.mesh = None
         self._strategy = strategy
@@ -337,6 +352,8 @@ class Trainer:
                 batch_fn=batch_fn,
                 act_dtype=act_dtype,
                 critic_unroll=critic_unroll,
+                gen_premap=self._gen_premap,
+                critic_premap=self._critic_premap,
             )
             if remat:
                 raise ValueError("remat is wired for the single-device "
@@ -355,6 +372,8 @@ class Trainer:
                 critic_unroll=critic_unroll,
                 remat=remat,
                 critic_apply_gp=critic_apply_gp,
+                gen_premap=self._gen_premap,
+                critic_premap=self._critic_premap,
             )
         # validation always evaluates the canonical flax module on the
         # standard [B, L, 2] eval pipeline, so flat-step runs stay directly

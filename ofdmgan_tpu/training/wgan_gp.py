@@ -75,8 +75,20 @@ def critic_loss_fn(
     gp_precision: str | None = None,
     critic_apply_gp: Callable | None = None,
     fuse_realfake: bool = False,
+    gen_premap: Callable | None = None,
+    critic_premap: Callable | None = None,
 ):
     """L_D = E[D(fake)] - E[D(real)] + λ·GP (train.py:219-253).
+
+    ``gen_premap``/``critic_premap`` (models/flat.make_*_flat_parts): when
+    given, the apply callables take PRE-EXPANDED dense matrices instead of
+    the raw parameter tree, and this function expands each parameter value
+    exactly ONCE — all apply sites (real/fake/interp + the GP chain) share
+    one set of matrices, so the backward accumulates their cotangents into
+    the matrices (MXU matmul transposes) and runs a single scatter-free
+    band-sum transpose per matrix instead of a dynamic-update-slice chain
+    per site (the round-3 op table's 9.3% DUS category,
+    results/op_table_r3_headline.json).
 
     ``gp_precision`` raises the MXU matmul precision for JUST the
     gradient-penalty chain (forward + nested ∇ₓD + its parameter gradients —
@@ -91,9 +103,12 @@ def critic_loss_fn(
     stay single-pass; same parameter tree, same function up to dot
     implementation. Takes precedence over ``gp_precision``."""
     noisy, clean = batch["noisy"], batch["clean"]
+    if critic_premap is not None:
+        params_d = critic_premap(params_d)  # expand ONCE; shared below
+    gen_in = gen_premap(params_g) if gen_premap is not None else params_g
     # store the (non-differentiated) fake in the batch's storage dtype so a
     # bf16-storage step keeps every critic input half-width (no-op for f32)
-    fake = jax.lax.stop_gradient(gen_apply(params_g, noisy)).astype(noisy.dtype)
+    fake = jax.lax.stop_gradient(gen_apply(gen_in, noisy)).astype(noisy.dtype)
     if fuse_realfake:
         # one critic apply on the stacked [2B] candidates instead of two on
         # [B]: halves the W-chain's dot-issue count (each row's MXU
@@ -135,8 +150,14 @@ def generator_loss_fn(
     critic_apply: Callable,
     batch,
     cfg: LossConfig,
+    gen_premap: Callable | None = None,
+    critic_premap: Callable | None = None,
 ):
     """L_G = -E[D(G(c),c)] + λ_rec·L1 (train.py:281-305).
+
+    ``gen_premap``/``critic_premap``: expansion-once dense matrices — see
+    ``critic_loss_fn``; the generator gradient then chains through ONE
+    scatter-free expansion transpose.
 
     ``cfg.n_critic == 0`` is the SUPERVISED fast path: the critic forward is
     skipped entirely (adv ≡ 0). With ``adv_weight == 0`` this is bit-exact —
@@ -146,11 +167,13 @@ def generator_loss_fn(
     (tests/test_training.py::test_supervised_fast_path_bit_exact) while
     paying for none of the adversarial machinery."""
     noisy, clean = batch["noisy"], batch["clean"]
-    fake = gen_apply(params_g, noisy)
+    gen_in = gen_premap(params_g) if gen_premap is not None else params_g
+    fake = gen_apply(gen_in, noisy)
     if cfg.n_critic == 0:
         adv = jnp.zeros((), jnp.float32)
     else:
-        adv = -jnp.mean(critic_apply(params_d, fake, noisy))
+        d_in = critic_premap(params_d) if critic_premap is not None else params_d
+        adv = -jnp.mean(critic_apply(d_in, fake, noisy))
     if clean.dtype in _FP8_DTYPES:
         # fp8 storage has no implicit promotion path; explicit upcast to the
         # generator output's dtype (what promotion does for bf16 storage)
@@ -183,6 +206,8 @@ def build_train_step(
     remat: bool = False,
     outer_unroll: int = 1,
     fuse_realfake: bool = False,
+    gen_premap: Callable | None = None,
+    critic_premap: Callable | None = None,
 ) -> Callable[[TrainState, jax.Array], Tuple[TrainState, dict]]:
     """Build the (unjitted) fused outer step ``(state, key) -> (state, metrics)``.
 
@@ -326,7 +351,8 @@ def build_train_step(
             else:
                 (loss, aux), grads = jax.value_and_grad(critic_loss_fn, has_aux=True)(
                     params_d, state.params_g, gen_apply, critic_apply, batch, k_gp,
-                    loss_cfg, gp_precision, critic_apply_gp, fuse_realfake
+                    loss_cfg, gp_precision, critic_apply_gp, fuse_realfake,
+                    gen_premap, critic_premap,
                 )
             grads, aux = reduce_tree((grads, aux))
             updates, opt_d = tx_d.update(grads, opt_d, params_d)
@@ -356,7 +382,8 @@ def build_train_step(
             d_aux = jax.tree_util.tree_map(lambda x: x[-1], d_auxes)
 
         (g_loss, g_aux), g_grads = jax.value_and_grad(generator_loss_fn, has_aux=True)(
-            state.params_g, params_d, gen_apply, critic_apply, batch0, loss_cfg
+            state.params_g, params_d, gen_apply, critic_apply, batch0, loss_cfg,
+            gen_premap, critic_premap,
         )
         g_grads, g_aux = reduce_tree((g_grads, g_aux))
         updates, opt_g = tx_g.update(g_grads, state.opt_g, state.params_g)
@@ -419,6 +446,8 @@ def make_train_step(
     remat: bool = False,
     outer_unroll: int = 1,
     fuse_realfake: bool = False,
+    gen_premap: Callable | None = None,
+    critic_premap: Callable | None = None,
 ) -> Callable[[TrainState, jax.Array], Tuple[TrainState, dict]]:
     """Single-device jitted fused train step (see ``build_train_step``)."""
     step_fn = build_train_step(
@@ -429,6 +458,7 @@ def make_train_step(
         act_dtype=act_dtype, critic_unroll=critic_unroll,
         critic_apply_gp=critic_apply_gp, remat=remat,
         outer_unroll=outer_unroll, fuse_realfake=fuse_realfake,
+        gen_premap=gen_premap, critic_premap=critic_premap,
     )
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 

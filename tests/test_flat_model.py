@@ -280,6 +280,68 @@ class TestTrainingParity:
             a, b = float(m_plain[-1][k]), float(m_remat[-1][k])
             assert abs(a - b) <= 1e-4 * max(1.0, abs(a)), (k, a, b)
 
+    @pytest.mark.parametrize("expand", ["dus", "onehot"])
+    def test_full_step_premap(self, expand):
+        """The expansion-once premapped step (bench.py --premap, the r4
+        headline config with --conv_expand onehot) computes the same
+        stochastic function as the per-apply-site flat step: same PRNG
+        stream, same math, the Toeplitz matrices merely built once per
+        parameter value per loss instead of once per apply site."""
+        from ofdmgan_tpu.models.flat import (make_critic_flat_parts,
+                                             make_generator_flat_parts)
+        from ofdmgan_tpu.ops import dense_conv
+
+        dg = DatagenConfig.make(frame_length=16, snr_range=(0, 30))
+        common = dict(
+            act_dtype="bfloat16",
+            batch_fn=lambda k, n: synthetic_batch_flat(k, n, dg),
+            critic_unroll=5)
+        _, m_site = self._steps(
+            make_generator_flat_apply(act_dtype="bfloat16"),
+            make_critic_flat_apply(act_dtype="bfloat16"), n=3, **common)
+        old = dense_conv.CONV_EXPAND
+        dense_conv.CONV_EXPAND = expand
+        try:
+            gp, ga = make_generator_flat_parts(act_dtype="bfloat16")
+            cp, ca = make_critic_flat_parts(act_dtype="bfloat16")
+            _, m_pre = self._steps(ga, ca, n=3, gen_premap=gp,
+                                   critic_premap=cp, **common)
+        finally:
+            dense_conv.CONV_EXPAND = old
+        for k in ("d_loss", "g_loss", "rec_loss", "gradient_penalty"):
+            a, b = float(m_site[-1][k]), float(m_pre[-1][k])
+            assert abs(a - b) <= 0.02 * max(1.0, abs(a)), (k, a, b)
+
+    def test_full_step_premap_gp_closure_headline(self):
+        """The exact r4 headline step — --premap --conv_expand onehot
+        --mm tf32x3_gp --act_dtype bfloat16 --critic_unroll 5 — tracks the
+        f32 reference trajectory (the same guarantee round 3 proved for
+        the per-site step, test_full_step_benched_config)."""
+        from ofdmgan_tpu.models.flat import (make_critic_flat_parts,
+                                             make_generator_flat_parts)
+        from ofdmgan_tpu.ops import dense_conv
+
+        gen, critic = MiniGenerator(), MiniDiscriminator()
+        _, m_ref = self._steps(gen.apply, critic.apply, n=3)
+        dg = DatagenConfig.make(frame_length=16, snr_range=(0, 30))
+        old = dense_conv.CONV_EXPAND
+        dense_conv.CONV_EXPAND = "onehot"
+        try:
+            gp, ga = make_generator_flat_parts(act_dtype="bfloat16")
+            cp, ca = make_critic_flat_parts(act_dtype="bfloat16")
+            _, cagp = make_critic_flat_parts(act_dtype="bfloat16",
+                                             mm="tf32x3")
+            _, m_fast = self._steps(
+                ga, ca, n=3, act_dtype="bfloat16",
+                batch_fn=lambda k, n: synthetic_batch_flat(k, n, dg),
+                critic_unroll=5, gen_premap=gp, critic_premap=cp,
+                critic_apply_gp=cagp)
+        finally:
+            dense_conv.CONV_EXPAND = old
+        for k in ("d_loss", "g_loss", "rec_loss", "gradient_penalty"):
+            a, b = float(m_ref[-1][k]), float(m_fast[-1][k])
+            assert abs(a - b) <= 0.05 * max(1.0, abs(a)), (k, a, b)
+
     def test_flat_dft_mats_cache_is_trace_safe(self):
         """Regression: _flat_dft_mats must not cache trace-local constants.
         First call INSIDE a jit trace, then use from a second trace — the

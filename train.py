@@ -178,6 +178,13 @@ def main():
                              "model dots ambient and pins JUST the gradient-"
                              "penalty chain to tf32x3 (the bench.py fastest "
                              "on-chip config)")
+    parser.add_argument("--premap", action="store_true",
+                        help="expansion-once flat step (requires --flat): "
+                             "build the Toeplitz dense matrices ONCE per "
+                             "parameter value per loss instead of once per "
+                             "apply site; pair with --conv_expand onehot "
+                             "for the scatter-free band-sum backward (the "
+                             "bench.py --premap r4 headline config)")
     parser.add_argument("--remat", action="store_true",
                         help="jax.checkpoint the model applies inside the "
                              "fused step (recompute activations in backward "
@@ -351,6 +358,7 @@ def main():
         ema_decay=args.ema,
         act_dtype=args.act_dtype,
         flat_step=args.flat,
+        premap=args.premap,
         mm=args.mm,
         critic_unroll=args.critic_unroll,
         remat=args.remat,
