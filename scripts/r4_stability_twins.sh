@@ -31,23 +31,41 @@ mkdir -p "$outdir"
 
 run_twin () {
   name=$1; shift
-  ck=/tmp/r4_twin_$name
+  SFX=""; [ "${SEED:-0}" != 0 ] && SFX="_s${SEED}"
+  ck=/tmp/r4_twin_${name}_s${SEED:-0}
   echo "=== twin $name" >&2
   timeout 14400 python train.py \
     --synthetic --platform cpu --flat --mm tf32x3_gp \
     --matmul_precision bf16_tf32gp --act_dtype bfloat16 --critic_unroll 5 \
-    --epochs "$EPOCHS" --samples_per_epoch "$SPE" --batch_size 64 --seed 0 \
+    --epochs "$EPOCHS" --samples_per_epoch "$SPE" --batch_size 64 --seed "${SEED:-0}" \
     --checkpoint_dir "$ck" --skip_export "$@" \
-    > "$outdir/train_$name.log" 2>&1 || { echo "twin $name FAILED" >&2; return 1; }
+    > "$outdir/train_${name}$SFX.log" 2>&1 || { echo "twin $name FAILED" >&2; return 1; }
   python scripts/extract_champion.py --checkpoint "$ck/final_model" \
-    --out "$outdir/$name" --meta "{\"twin\": \"$name\"}" \
-    >> "$outdir/train_$name.log" 2>&1
+    --out "$outdir/${name}$SFX" --meta "{\"twin\": \"$name\"}" \
+    >> "$outdir/train_${name}$SFX.log" 2>&1
   # eval BOTH the Orbax dir and the committed .npz (they must agree)
   python scripts/eval_checkpoint.py --platform cpu --identity \
-    --checkpoint "$ck/final_model" "$outdir/$name/champion_params_g.npz" \
-    > "$outdir/${name}_eval.json" 2>>"$outdir/train_$name.log"
+    --checkpoint "$ck/final_model" "$outdir/${name}$SFX/champion_params_g.npz" \
+    > "$outdir/${name}${SFX}_eval.json" 2>>"$outdir/train_${name}$SFX.log"
 }
 
-run_twin tf32x3_gp
-run_twin premap --premap --conv_expand onehot
+for t in ${TWINS:-tf32x3_gp premap premap_rbg}; do
+  case "$t" in
+    tf32x3_gp)  run_twin tf32x3_gp ;;
+    premap)     run_twin premap --premap --conv_expand onehot ;;
+    # the r4 headline: + hardware-RBG PRNG (bench --prng unsafe_rbg,
+    # 4.91e7 on chip, results/r4_perf_queue2.jsonl). The CPU twin
+    # exercises the recipe on the CPU RBG stream — same generator
+    # family, different stream than the TPU's; what it validates is
+    # that the recipe's equilibrium does not depend on the threefry
+    # stream specifically.
+    premap_rbg) run_twin premap_rbg --premap --conv_expand onehot \
+                                    --prng unsafe_rbg ;;
+    # safe-rbg variant: threefry key derivation kept, only bulk bit
+    # generation uses the hardware RngBitGenerator
+    premap_saferbg) run_twin premap_saferbg --premap --conv_expand onehot \
+                                    --prng rbg ;;
+    *) echo "unknown twin $t" >&2; exit 2 ;;
+  esac
+done
 echo "=== twins done" >&2
