@@ -279,8 +279,15 @@ def main():
         args.act_dtype = None
     if args.pallas_datagen or args.pallas_critic:
         # the Pallas study paths are [B, L, 2]-layout kernels; bench them in
-        # the layout they were written for
+        # the layout they were written for, downgrading the flat-only knobs
+        # that are on by default (r4) so `--pallas_*` works bare
         args.flat = False
+        if args.mm != "ambient" or args.premap:
+            import sys
+            print("note: --pallas_* benches the [B, L, 2] path; "
+                  "ignoring flat-only --mm/--premap", file=sys.stderr)
+        args.mm = "ambient"
+        args.premap = False
     if args.packed and args.remat:
         ap.error("--remat applies to the standard step builder; the packed "
                  "step has no remat wiring")
