@@ -417,22 +417,34 @@ def main():
         assert d_loss == d_loss, "non-finite d_loss"  # NaN check
         return state, scan_steps * batch / dt
 
-    # compile + warmup (2 windows is enough: each window is already ~100
-    # steady-state dispatch intervals long)
-    for w in range(3):
-        state, _ = timed_window(state, 1000 + w)
+    import contextlib
+    run_ctx = contextlib.nullcontext()
+    if ((args.pallas_datagen or args.pallas_critic)
+            and jax.default_backend() == "cpu"):
+        # Pallas kernels only compile on TPU; on the CPU backend run them
+        # under the Pallas TPU interpreter (same switch the tests use —
+        # its hardware-PRNG stub returns zero bits, so this is a wiring
+        # smoke, not a measurement)
+        from jax.experimental.pallas import tpu as pltpu
+        run_ctx = pltpu.force_tpu_interpret_mode()
 
-    if args.profile_dir:
-        # one steady-state window under the profiler: the trace contains
-        # scan_steps full training steps, plenty for stable per-op stats
-        jax.profiler.start_trace(args.profile_dir)
-        state, _ = timed_window(state, 1500)
-        jax.profiler.stop_trace()
+    with run_ctx:
+        # compile + warmup (2 windows is enough: each window is already ~100
+        # steady-state dispatch intervals long)
+        for w in range(3):
+            state, _ = timed_window(state, 1000 + w)
 
-    windows = []
-    for w in range(5):
-        state, fps = timed_window(state, 2000 + w)
-        windows.append(fps)
+        if args.profile_dir:
+            # one steady-state window under the profiler: the trace contains
+            # scan_steps full training steps, plenty for stable per-op stats
+            jax.profiler.start_trace(args.profile_dir)
+            state, _ = timed_window(state, 1500)
+            jax.profiler.stop_trace()
+
+        windows = []
+        for w in range(5):
+            state, fps = timed_window(state, 2000 + w)
+            windows.append(fps)
     windows.sort()
     frames_per_sec = windows[len(windows) // 2]  # median window
 

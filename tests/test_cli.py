@@ -246,3 +246,21 @@ class TestBenchGuard:
         for k in ("metric", "value", "unit", "vs_baseline"):
             assert k in line, line
         assert line["value"] == 0.0 and "unreachable" in line["error"]
+
+    def test_bench_bare_pallas_flag_accepted(self, tmp_path):
+        """`bench.py --pallas_datagen` must run bare: the r4 default flip
+        turned on flat-only knobs (--mm tf32x3_gp, --premap) that the
+        pallas study paths must downgrade — not ap.error on — since those
+        paths bench the [B, L, 2] layout (regression: r4 queue 5)."""
+        env = {**os.environ, "OFDMGAN_TEST_PLATFORM": "cpu"}
+        r = subprocess.run(
+            [sys.executable, str(REPO / "bench.py"), "--pallas_datagen",
+             "--platform", "cpu", "--batch", "64", "--scan_steps", "2",
+             "--watchdog", "240"],
+            cwd=tmp_path, env=env, capture_output=True, text=True,
+            timeout=300,
+        )
+        assert r.returncode == 0, (r.returncode, r.stderr[-800:])
+        line = json.loads(r.stdout.strip().splitlines()[-1])
+        assert line["value"] > 0, line
+        assert "ignoring flat-only" in r.stderr
