@@ -448,12 +448,25 @@ def main():
     windows.sort()
     frames_per_sec = windows[len(windows) // 2]  # median window
 
-    print(json.dumps({
+    line = {
         "metric": "fused_wgan_gp_train_frames_per_sec_per_chip",
         "value": round(frames_per_sec, 1),
         "unit": "frames/s/chip",
         "vs_baseline": round(frames_per_sec / BASELINE_FRAMES_PER_SEC, 3),
-    }))
+    }
+    # A run off the real chip (CPU backend, or --pallas_* under the Pallas
+    # TPU *interpreter*) is a wiring smoke, not a measurement — mark the
+    # line so jsonl consumers can never mistake it for a chip number.
+    # NOTE: the axon PJRT plugin registers its platform as "tpu" at the
+    # default_backend level (verified on chip), so "tpu" == the real chip.
+    backend = jax.default_backend()
+    if backend != "tpu":
+        line["backend"] = backend
+        line["interpreted"] = bool(getattr(args, "pallas_datagen", False)
+                                   or getattr(args, "pallas_critic", False))
+        line["note"] = ("NOT a chip measurement (backend=%s); %s"
+                        % (backend, LAST_MEASURED_NOTE))
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":
