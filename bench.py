@@ -233,6 +233,16 @@ def main():
                          "backward, and the form that makes --premap pay "
                          "(4.3e7 vs 2.5e7 with dus, "
                          "results/r4_perf_queue.jsonl)")
+    ap.add_argument("--datagen_dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="storage dtype of the datagen outputs (noisy/clean) "
+                         "at the datagen->model fusion boundary. The r4 op "
+                         "table shows f32 [B,32] batch tensors as the "
+                         "largest copy-done movers; bf16 halves those "
+                         "bytes. PERF PROBE — rec/GP losses then reduce "
+                         "over bf16-rounded inputs (same-lattice argument "
+                         "as bf16 activation storage; needs a 500-epoch "
+                         "twin before becoming a default)")
     ap.add_argument("--act_dtype", default="bfloat16",
                     choices=["none", "bfloat16", "float8_e4m3fn",
                              "float8_e5m2"],
@@ -265,6 +275,11 @@ def main():
                          "XLA_FLAGS do NOT reach the axon compile "
                          "server), e.g. xla_tpu_scoped_vmem_limit_kib="
                          "65536")
+    ap.add_argument("--hlo_out", default=None, metavar="PATH",
+                    help="compile the step, dump the OPTIMIZED HLO text "
+                         "(gzipped if PATH ends in .gz) and exit without "
+                         "timing — for attributing copy/data-formatting "
+                         "device time to instructions")
     ap.add_argument("--profile_dir", default=None, metavar="DIR",
                     help="capture a JAX profiler (xprof) trace of one "
                          "steady-state window into DIR after warmup; parse "
@@ -384,7 +399,12 @@ def main():
                 # matmul-form datagen born flat [B, 32]: no FFT lowering, no
                 # complex<->I/Q relayouts, no [B, L, C] tensor anywhere in
                 # the step (parity: tests/test_flat_model.py)
-                return synthetic_batch_flat(k, n, dg)
+                b = synthetic_batch_flat(k, n, dg)
+                if args.datagen_dtype == "bfloat16":
+                    b = dict(b,
+                             noisy=b["noisy"].astype(jnp.bfloat16),
+                             clean=b["clean"].astype(jnp.bfloat16))
+                return b
         elif args.mm != "ambient":
             ap.error("--mm requires --flat")
         elif args.premap:
@@ -407,6 +427,19 @@ def main():
             donate_argnums=0,
             compiler_options=compiler_options,
         )
+
+    if args.hlo_out:
+        compiled = step.lower(state, jax.random.fold_in(key, 0)).compile()
+        text = compiled.as_text()
+        if args.hlo_out.endswith(".gz"):
+            import gzip
+            with gzip.open(args.hlo_out, "wt") as f:
+                f.write(text)
+        else:
+            with open(args.hlo_out, "w") as f:
+                f.write(text)
+        print(f"optimized HLO ({len(text)/1e6:.1f} MB) -> {args.hlo_out}")
+        return
 
     def timed_window(state, seed):
         t0 = time.perf_counter()
