@@ -1,0 +1,82 @@
+#!/bin/bash
+# Round-5 (VERDICT item 3): close the full-scale fading frontier.
+#
+# The r4 GAN champion (results/full_fading_gan/) is non-collapsed and beats
+# every classical EQ at SNR 5-20 under the fair pilot protocol, but
+# concedes to Wiener at SNR 0 (-9.95 vs -9.29) and to pilot-MMSE above 20
+# (-10.45 vs -9.55 at 30), pays +2.8% paired L1 over identity, and its
+# MMD^2 sits 28% above the raw noisy input. Recipe A = the verdict's
+# top-value lever: warm-start BOTH nets from the GAN champion
+# (params-only, fresh optimizers/schedule — trainer.init_params_from) and
+# run a supervised-dominant polish with a small ADVERSARIAL FLOOR so the
+# L1 pressure cannot reach the zero-output posterior-mean optimum that
+# collapsed the pure-supervised champion
+# (results/distributional_full_fading.json: amp-std 1.4e-4, PSD gap 81 dB).
+#
+#   adv 0.25 (4x weaker than the from-scratch recipe, 12x stronger than
+#            the r3 'gentle finetune' 0.02 that provably changed nothing),
+#   rec 100, n_critic 5, lr 1e-4 (half), StepLR 50/0.5, 150 epochs.
+#
+# Needs the real chip (~25-35 min train + ~20 min eval suite).
+# CPU dress rehearsal:
+#   EPOCHS=1 SPE=64 BATCH=16 FL=64 EXTRA="--platform cpu" \
+#     INIT=results/full_fading_gan/final_model_ckpt bash scripts/r5_fading_v2_polish.sh
+set -u
+cd "$(dirname "$0")/.."
+ckdir=${CKDIR:-/tmp/full_fading_v2}
+outdir=${OUTDIR:-results/full_fading_gan_v2}
+INIT=${INIT:-results/full_fading_gan/final_model_ckpt}
+EPOCHS=${EPOCHS:-150}
+SPE=${SPE:-51200}
+BATCH=${BATCH:-512}
+FL=${FL:-1024}
+ADV=${ADV:-0.25}
+LR=${LR:-1e-4}
+EXTRA=${EXTRA:-}
+mkdir -p "$outdir"
+
+echo "=== train: polish w/ adversarial floor (adv=$ADV) from $INIT" >&2
+timeout 14400 python train.py \
+  --model full --synthetic --nonlinear --channel multipath \
+  --adv_weight "$ADV" --n_critic 5 --lr "$LR" --lr_step 50 --lr_gamma 0.5 \
+  --batch_size "$BATCH" --samples_per_epoch "$SPE" --epochs "$EPOCHS" \
+  --seed 0 --frame_length "$FL" $EXTRA \
+  --init_from "$INIT" \
+  --checkpoint_dir "$ckdir" --skip_export \
+  > "$outdir/train.log" 2>&1
+rc=$?
+echo "train rc=$rc (log: $outdir/train.log)" >&2
+[ $rc -ne 0 ] && exit $rc
+sleep 20
+
+echo "=== paired 51,200-frame eval (final + best)" >&2
+timeout 1800 python scripts/eval_checkpoint.py \
+  --checkpoint "$ckdir/final_model" --model full --frame_length "$FL" $EXTRA \
+  --nonlinear --channel multipath \
+  > "$outdir/eval_final.txt" 2>&1
+sleep 15
+
+echo "=== archive champion params" >&2
+timeout 1800 python scripts/extract_champion.py \
+  --checkpoint "$ckdir/final_model" \
+  --out "$outdir" --meta '{"recipe": "polish_advfloor0.25_from_r4_gan"}' \
+  > "$outdir/extract.log" 2>&1 || true
+sleep 15
+
+echo "=== distributional suite: v2 polish vs v1 GAN champion" >&2
+timeout 3600 python scripts/distributional_report.py \
+  --model full --frame_length "$FL" --nonlinear --channel multipath $EXTRA \
+  --checkpoint gan_fading_v2="$outdir/champion_params_g.npz" \
+               gan_fading_v1=results/full_fading_gan/champion_params_g.npz \
+  --json results/distributional_full_fading_gan_v2.json \
+  > "$outdir/distributional.log" 2>&1
+sleep 15
+
+echo "=== pilot-protocol benchmark vs classical equalizers" >&2
+timeout 3600 python benchmark_comparison.py \
+  --model full --checkpoint "$outdir/champion_params_g.npz" --frame_length "$FL" \
+  --nonlinear --channel multipath --protocol pilot \
+  --output_dir "$outdir" $EXTRA ${BENCH_EXTRA:-} \
+  > "$outdir/benchmark_pilot.txt" 2>&1
+
+echo "fading-v2 queue done -> $outdir" >&2
