@@ -73,8 +73,9 @@ def make_unet_infer_apply(levels: int = 5,
     """Return ``apply(params, x) -> y`` for serving.
 
     * ``params``: the standard FullUNetGenerator tree ({"params": {...}}
-      or the bare {...} layer dict) — cast to ``act_dtype`` by the caller
-      or left f32 (dots run at the ambient matmul precision either way).
+      or the bare {...} layer dict) — f32 trees are cast to ``act_dtype``
+      inside the apply (so the same tree trains under this forward:
+      train.py --fused_decoder), pre-cast serving trees pass through.
     * ``act_dtype``: activation storage dtype (bfloat16 serving default;
       float32 reproduces the training forward bit-for-bit when
       ``fused_decoder=False``).
@@ -87,7 +88,14 @@ def make_unet_infer_apply(levels: int = 5,
         p = params.get("params", params)
 
         def wb(name):
-            return p[name]["kernel"], p[name]["bias"]
+            # cast here (a no-op for pre-cast serving params) so the SAME
+            # f32 param tree that trains under full_unet.py trains under
+            # this forward too — bf16 act storage then runs true bf16
+            # convs with f32 cotangent accumulation through the astype,
+            # the same weights-f32/operands-rounded discipline as the
+            # mini's flat bf16 path (models/flat.py:_mm)
+            k, b = p[name]["kernel"], p[name]["bias"]
+            return k.astype(act_dtype), b.astype(act_dtype)
 
         a = leaky_slope
         h = x.astype(act_dtype)

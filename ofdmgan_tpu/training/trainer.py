@@ -21,6 +21,7 @@ from pathlib import Path
 from typing import Any, Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import orbax.checkpoint as ocp
 
@@ -81,6 +82,7 @@ class Trainer:
         remat: bool = False,
         image_chunks: bool = False,
         prng: str = "threefry",
+        fused_decoder: bool = False,
     ):
         """``generator``/``discriminator`` inject alternative model families
         (e.g. the full 1024-sample U-Net, models/full_unet.py) in place of
@@ -248,6 +250,30 @@ class Trainer:
             raise ValueError("mm requires flat_step")
         elif premap:
             raise ValueError("premap requires flat_step")
+
+        if fused_decoder:
+            # Full-U-Net TRAINING forward with the fused k=2-pair decoder
+            # (models/unet_infer.py): the upsample+conv(k=3) identity is
+            # exact, hence differentiable — no NN-upsample broadcast is
+            # materialized and the decoder convs drop from 12 to 8
+            # Cin*Cout*L MACs. Same param tree; eval/checkpoint/export
+            # below keep the flax module. act_dtype='bfloat16' composes
+            # (bf16 activation+operand storage, f32 param cotangents).
+            from ..models.full_unet import FullUNetGenerator
+            from ..models.unet_infer import make_unet_infer_apply
+
+            if not isinstance(self.generator, FullUNetGenerator) or qat \
+                    or self.generator.weight_bits or self.generator.act_bits:
+                raise ValueError("fused_decoder is the float full-U-Net "
+                                 "training forward (--model full)")
+            if flat_step:
+                raise ValueError("fused_decoder and flat_step are different "
+                                 "model families")
+            train_gen_apply = make_unet_infer_apply(
+                levels=self.generator.levels,
+                leaky_slope=self.generator.leaky_slope,
+                act_dtype=jnp.dtype(act_dtype) if act_dtype else jnp.float32,
+                fused_decoder=True)
 
         self.mesh = None
         self._strategy = strategy

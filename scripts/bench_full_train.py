@@ -70,30 +70,52 @@ def main():
     dg = DatagenConfig.make(frame_length=fl, snr_range=(0, 30),
                             nonlinear=True, pa_saturation=0.8)
 
-    # (name, n_critic, adv_weight, matmul_precision)
+    # (name, n_critic, adv_weight, matmul_precision, forward)
+    # forward: "std" = FullUNetGenerator.apply (materialized NN-upsample +
+    # k=3 decoder convs); "fused" = the k=2-pair fused decoder as the
+    # TRAINING forward (models/unet_infer.py — exact identity, hence
+    # differentiable; train.py --fused_decoder); "fused_bf16" = fused +
+    # bf16 activation/operand storage (f32 param cotangents).
     grid = [
-        ("gan_f32", 5, 1.0, "float32"),
-        ("gan_tf32", 5, 1.0, "tensorfloat32"),
-        ("gan_bf16", 5, 1.0, "bfloat16"),          # roofline only: UNSTABLE for WGAN-GP
+        ("gan_f32", 5, 1.0, "float32", "std"),
+        ("gan_tf32", 5, 1.0, "tensorfloat32", "std"),
+        ("gan_bf16", 5, 1.0, "bfloat16", "std"),   # roofline only: UNSTABLE for WGAN-GP
+        ("gan_tf32_fused", 5, 1.0, "tensorfloat32", "fused"),
+        ("gan_bf16_fused", 5, 1.0, "bfloat16", "fused"),
+        ("gan_bf16_fused_bf16act", 5, 1.0, "bfloat16", "fused_bf16"),
         # the full champion EXACTLY as run (sup_decay_seed2.log: n_critic 1,
         # adv 0 — critic trained but unused by G): the honest "before" row
-        ("asrun_champion_f32", 1, 0.0, "float32"),
-        ("supervised_f32", 0, 0.0, "float32"),      # the champion recipe, fast path
-        ("supervised_tf32", 0, 0.0, "tensorfloat32"),
-        ("supervised_bf16", 0, 0.0, "bfloat16"),
+        ("asrun_champion_f32", 1, 0.0, "float32", "std"),
+        ("supervised_f32", 0, 0.0, "float32", "std"),  # the champion recipe, fast path
+        ("supervised_tf32", 0, 0.0, "tensorfloat32", "std"),
+        ("supervised_bf16", 0, 0.0, "bfloat16", "std"),
+        ("supervised_tf32_fused", 0, 0.0, "tensorfloat32", "fused"),
+        ("supervised_bf16_fused", 0, 0.0, "bfloat16", "fused"),
+        ("supervised_bf16_fused_bf16act", 0, 0.0, "bfloat16", "fused_bf16"),
     ]
     if args.configs:
         grid = [g for g in grid if g[0] in args.configs]
 
     results = {"batch": args.batch, "scan_steps": args.scan_steps,
                "frame_length": fl, "windows": args.windows, "rows": {}}
-    for name, n_critic, adv_w, mm in grid:
+    from ofdmgan_tpu.models.unet_infer import make_unet_infer_apply
+
+    applies = {
+        "std": gen.apply,
+        "fused": make_unet_infer_apply(levels=gen.levels,
+                                       act_dtype=jnp.float32,
+                                       fused_decoder=True),
+        "fused_bf16": make_unet_infer_apply(levels=gen.levels,
+                                            act_dtype=jnp.bfloat16,
+                                            fused_decoder=True),
+    }
+    for name, n_critic, adv_w, mm, fwd in grid:
         loss = LossConfig(n_critic=n_critic, adv_weight=adv_w)
         tx_g, tx_d = make_adam(2e-4), make_adam(2e-4)
         state = TrainState.create(jax.device_put(params_g),
                                   jax.device_put(params_d), tx_g, tx_d)
-        step = make_train_step(gen.apply, critic.apply, tx_g, tx_d, dg, loss,
-                               batch_size=args.batch,
+        step = make_train_step(applies[fwd], critic.apply, tx_g, tx_d, dg,
+                               loss, batch_size=args.batch,
                                scan_steps=args.scan_steps,
                                matmul_precision=mm)
 
@@ -116,7 +138,7 @@ def main():
             "frames_per_sec": round(fps, 1),
             "ms_per_step": round(1e3 * args.batch / fps, 2),
             "n_critic": n_critic, "adv_weight": adv_w,
-            "matmul_precision": mm,
+            "matmul_precision": mm, "forward": fwd,
             "windows_fps": [round(s, 1) for s in samples],
         }
         print(f"{name:18s} {fps:10.1f} frames/s "

@@ -149,6 +149,36 @@ class TestFullModelCLI:
         assert "enc1_1" in meta["layers"] and "final" in meta["layers"]
 
 
+    def test_train_full_model_fused_decoder(self, workdir, tmp_path):
+        """--model full --fused_decoder: the fused k=2-pair decoder as the
+        TRAINING forward (round 5; models/unet_infer.py), eval/checkpoint
+        still on the flax module — same param tree."""
+        import yaml
+
+        cfg = yaml.safe_load((REPO / "config/config.yaml").read_text())
+        cfg.setdefault("model", {})["full"] = {"levels": 3, "base_channels": 8}
+        cfgp = tmp_path / "full_fused.yaml"
+        cfgp.write_text(yaml.safe_dump(cfg))
+        r = run([str(REPO / "train.py"), "--config", str(cfgp),
+                 "--synthetic", "--platform", "cpu", "--model", "full",
+                 "--frame_length", "64", "--fused_decoder",
+                 "--epochs", "1", "--batch_size", "16",
+                 "--samples_per_epoch", "32", "--n_critic", "2",
+                 "--checkpoint_dir", str(tmp_path / "ckpt_full_fused"),
+                 "--skip_export", "--experiment", "cli_full_fused"],
+                cwd=workdir)
+        assert r.returncode == 0, (r.stdout[-1500:], r.stderr[-1500:])
+        assert "Epoch 0:" in r.stdout
+        # the mini families must refuse the flag
+        r2 = run([str(REPO / "train.py"), "--config",
+                  str(REPO / "config/config.yaml"), "--synthetic",
+                  "--platform", "cpu", "--epochs", "1", "--batch_size", "8",
+                  "--samples_per_epoch", "16", "--fused_decoder",
+                  "--skip_export", "--experiment", "cli_fused_bad"],
+                 cwd=workdir)
+        assert r2.returncode != 0
+        assert "fused_decoder" in (r2.stderr + r2.stdout)
+
     def test_train_pipeline_parallel(self, workdir, tmp_path):
         """--strategy pp: the GPipe pipeline (parallel/pipeline.py) reachable
         from the product CLI — supervised full-U-Net recipe over a pp=2 mesh

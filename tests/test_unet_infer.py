@@ -65,3 +65,58 @@ def test_fused_decoder_full_scale_shape():
     y = jax.jit(apply)(jax.tree.map(lambda p: p.astype(jnp.bfloat16), params), x)
     assert y.shape == (2, 1024, 2)
     assert bool(jnp.isfinite(y).all())
+
+
+def test_fused_decoder_training_gradients_equivalent(small_unet):
+    """Round 5: the fused decoder is the TRAINING forward too
+    (train.py --fused_decoder). The identity is exact, so gradients of a
+    supervised loss through the fused apply must match gradients through
+    the flax module to reassociation eps."""
+    model, params, x = small_unet
+    target = jnp.tanh(x * 0.5)
+    fused = make_unet_infer_apply(levels=3, act_dtype=jnp.float32,
+                                  fused_decoder=True)
+
+    def loss_ref(p):
+        return jnp.mean(jnp.abs(model.apply(p, x) - target))
+
+    def loss_fused(p):
+        return jnp.mean(jnp.abs(fused(p, x) - target))
+
+    g_ref = jax.grad(loss_ref)(params)
+    g_fused = jax.grad(loss_fused)(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_fused)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-6)
+
+
+def test_fused_decoder_trains_a_step(small_unet):
+    """One fused WGAN-GP step through the fused training forward: finite
+    losses, params move (the trainer wiring path, Trainer(fused_decoder=
+    True))."""
+    from ofdmgan_tpu.models.full_unet import FullDiscriminator
+    from ofdmgan_tpu.signal import DatagenConfig
+    from ofdmgan_tpu.training import (LossConfig, TrainState, make_adam,
+                                      make_train_step)
+
+    model, params, x = small_unet
+    critic = FullDiscriminator(frame_length=64, levels=3, base_channels=8)
+    key = jax.random.PRNGKey(0)
+    params_d = critic.init(key, x[:1], x[:1])
+    tx_g, tx_d = make_adam(1e-4), make_adam(1e-4)
+    state = TrainState.create(params, params_d, tx_g, tx_d)
+    fused = make_unet_infer_apply(levels=3, act_dtype=jnp.float32,
+                                  fused_decoder=True)
+    dg = DatagenConfig.make(frame_length=64, snr_range=(0, 30))
+    step = make_train_step(fused, critic.apply, tx_g, tx_d, dg,
+                           LossConfig(n_critic=2), batch_size=8,
+                           scan_steps=1, donate=False)
+    new_state, m = step(state, key)
+    for name in ("d_loss", "g_loss", "gradient_penalty"):
+        assert np.isfinite(float(m[name])), name
+    before = np.concatenate([np.ravel(l) for l in
+                             jax.tree_util.tree_leaves(state.params_g)])
+    after = np.concatenate([np.ravel(l) for l in
+                            jax.tree_util.tree_leaves(new_state.params_g)])
+    assert not np.array_equal(before, after)

@@ -200,6 +200,14 @@ def main():
                              "RngBitGenerator instead of 20+ threefry "
                              "rounds per element (same recipe statistics, "
                              "different stream — see bench.py --prng)")
+    parser.add_argument("--fused_decoder", action="store_true",
+                        help="full U-Net TRAINING forward with the fused "
+                             "k=2-pair decoder (models/unet_infer.py): the "
+                             "upsample+conv identity is exact, hence "
+                             "differentiable — 8 instead of 12 Cin*Cout*L "
+                             "decoder MACs and no materialized NN-upsample "
+                             "broadcast. --model full only; composes with "
+                             "--act_dtype bfloat16")
     parser.add_argument("--conv_expand", default="dus",
                         choices=["dus", "onehot"],
                         help="Toeplitz expansion impl (ops/dense_conv.py): "
@@ -363,6 +371,7 @@ def main():
         critic_unroll=args.critic_unroll,
         remat=args.remat,
         prng=args.prng,
+        fused_decoder=args.fused_decoder,
     )
     from ofdmgan_tpu.models import count_parameters
 
