@@ -42,6 +42,19 @@ def main():
     ap.add_argument("--seed", type=int, default=1234)
     ap.add_argument("--json", default=None)
     ap.add_argument("--platform", type=str, default=None)
+    ap.add_argument("--forward", default="module",
+                    choices=["module", "serving", "int8"],
+                    help="which deployed forward evaluates the checkpoints "
+                         "(full model only): 'module' = the float flax "
+                         "forward; 'serving' = the bf16 fused-decoder "
+                         "serving forward (models/unet_infer.py — what the "
+                         "StableHLO artifact runs); 'int8' = the int8 "
+                         "per-channel weight + int16 dynamic activation "
+                         "deployment simulation (quant/export semantics). "
+                         "Round-5 use: collapse is exactly the failure "
+                         "quantization could reintroduce, so champions "
+                         "ship with distributional metrics on the deployed "
+                         "paths too")
     args = ap.parse_args()
 
     import jax
@@ -94,17 +107,35 @@ def main():
               f"x{row['mmd2_over_null']:.1f}) | amp-std ratio "
               f"{row['amp_std_ratio']:.4f} | L1 {row['paired_l1']:.5f}", flush=True)
 
+    apply_fn = gen.apply
+    if args.forward != "module":
+        if args.model != "full":
+            ap.error("--forward serving/int8 applies to --model full")
+        if args.forward == "serving":
+            import jax.numpy as jnp
+
+            from ofdmgan_tpu.models.unet_infer import make_unet_infer_apply
+
+            inner = make_unet_infer_apply(levels=gen.levels,
+                                          act_dtype=jnp.bfloat16,
+                                          fused_decoder=True)
+            apply_fn = lambda p, x: inner(p, x).astype(jnp.float32)
+        else:
+            qgen = FullUNetGenerator(frame_length=args.frame_length,
+                                     weight_bits=8, act_bits=16)
+            apply_fn = qgen.apply
+
     run("noisy (no enhancement)", lambda p, x: x, {})
     for entry in args.checkpoint:
         label, _, path = entry.partition("=")
         if not path:
             label, path = Path(entry).stem, entry
         params = load_params(path, ema=False)
-        run(label, gen.apply, params)
+        run(label, apply_fn, params)
 
     out = {"task": {"model": args.model, "frame_length": args.frame_length,
                     "nonlinear": args.nonlinear, "channel": args.channel,
-                    "residual": args.residual,
+                    "residual": args.residual, "forward": args.forward,
                     "frames": args.batches * args.batch_size,
                     "mmd_samples": args.mmd_samples, "seed": args.seed},
            "rows": rows}
