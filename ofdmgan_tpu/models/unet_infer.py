@@ -1,4 +1,6 @@
-"""Serving-optimized full U-Net forward: fused upsample+conv decoder.
+"""Fused upsample+conv decoder forward for the full U-Net — serving AND,
+since round 5, training (the identity is exact, hence differentiable:
+train.py --fused_decoder; gradient parity in tests/test_unet_infer.py).
 
 The training-time decoder (models/full_unet.py:125-131, mirroring the
 reference's export topology, reference export/generator/metadata.json)
