@@ -31,6 +31,7 @@ SPE=${SPE:-51200}
 BATCH=${BATCH:-512}
 FL=${FL:-1024}
 ADV=${ADV:-0.25}
+REC=${REC:-100}
 LR=${LR:-1e-4}
 EXTRA=${EXTRA:-}
 mkdir -p "$outdir"
@@ -38,7 +39,8 @@ mkdir -p "$outdir"
 echo "=== train: polish w/ adversarial floor (adv=$ADV) from $INIT" >&2
 timeout 14400 python train.py \
   --model full --synthetic --nonlinear --channel multipath \
-  --adv_weight "$ADV" --n_critic 5 --lr "$LR" --lr_step 50 --lr_gamma 0.5 \
+  --adv_weight "$ADV" --rec_weight "$REC" --n_critic 5 \
+  --lr "$LR" --lr_step 50 --lr_gamma 0.5 \
   --batch_size "$BATCH" --samples_per_epoch "$SPE" --epochs "$EPOCHS" \
   --seed 0 --frame_length "$FL" $EXTRA \
   --init_from "$INIT" \
