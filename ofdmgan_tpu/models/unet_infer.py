@@ -68,6 +68,40 @@ def _upconv_fused(h: jnp.ndarray, kernel: jnp.ndarray,
     return out + bias
 
 
+def make_full_critic_apply(levels: int = 5,
+                           leaky_slope: float = 0.2,
+                           act_dtype: Any = jnp.bfloat16) -> Callable:
+    """Functional ``apply(params, candidate, condition)`` for the
+    FullDiscriminator param tree with ``act_dtype`` activation/operand
+    storage (full_unet.py:163-181 keeps no act_dtype knob of its own).
+
+    Same function as the flax module up to operand rounding: convs run on
+    ``act_dtype`` operands, the global sum pool accumulates in f32
+    (``dtype=jnp.float32`` — the mini critic's f32-pool rule,
+    models/critic.py:48), and the final Dense runs in f32. Built for the
+    full-scale training-throughput grid (scripts/bench_full_train.py
+    ``*_bf16act_critic`` rows): at n_critic 5 the critic dominates the
+    GAN step, so generator-side storage wins dilute without this.
+    Stability at bf16 is NOT established for the WGAN-GP equilibrium at
+    full scale — roofline rows only, like ``gan_bf16``."""
+
+    def apply(params: Any, candidate: jnp.ndarray,
+              condition: jnp.ndarray) -> jnp.ndarray:
+        p = params.get("params", params)
+        h = jnp.concatenate([candidate, condition], axis=-1).astype(act_dtype)
+        for i in range(levels):
+            l = p[f"conv{i+1}"]
+            h = leaky_relu(
+                _conv(h, l["kernel"].astype(act_dtype),
+                      l["bias"].astype(act_dtype), stride=2), leaky_slope)
+        pooled = jnp.sum(h, axis=-2, dtype=jnp.float32)
+        d = p["dense"]
+        return pooled @ d["kernel"].astype(jnp.float32) \
+            + d["bias"].astype(jnp.float32)
+
+    return apply
+
+
 def make_unet_infer_apply(levels: int = 5,
                           leaky_slope: float = 0.2,
                           act_dtype: Any = jnp.bfloat16,

@@ -46,6 +46,11 @@ def main():
     ap.add_argument("--out", default="results/full_train_speed_r3.json")
     ap.add_argument("--configs", nargs="*", default=None,
                     help="subset of config names to run (default: all)")
+    ap.add_argument("--profile_dir", default=None,
+                    help="capture one steady-state window of the LAST grid "
+                         "row under the jax profiler (xprof) — feed to "
+                         "scripts/xprof_op_table.py for the full-scale "
+                         "training op table")
     args = ap.parse_args()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -83,6 +88,11 @@ def main():
         ("gan_tf32_fused", 5, 1.0, "tensorfloat32", "fused"),
         ("gan_bf16_fused", 5, 1.0, "bfloat16", "fused"),
         ("gan_bf16_fused_bf16act", 5, 1.0, "bfloat16", "fused_bf16"),
+        # + bf16-act CRITIC (make_full_critic_apply): at n_critic 5 the
+        # critic dominates the step, so this is where the storage lever
+        # actually lives. Roofline row (WGAN-GP stability at bf16 not
+        # established at full scale).
+        ("gan_bf16_fused_bf16act_critic", 5, 1.0, "bfloat16", "fused_bf16_critic"),
         # the full champion EXACTLY as run (sup_decay_seed2.log: n_critic 1,
         # adv 0 — critic trained but unused by G): the honest "before" row
         ("asrun_champion_f32", 1, 0.0, "float32", "std"),
@@ -98,7 +108,8 @@ def main():
 
     results = {"batch": args.batch, "scan_steps": args.scan_steps,
                "frame_length": fl, "windows": args.windows, "rows": {}}
-    from ofdmgan_tpu.models.unet_infer import make_unet_infer_apply
+    from ofdmgan_tpu.models.unet_infer import (make_full_critic_apply,
+                                               make_unet_infer_apply)
 
     applies = {
         "std": gen.apply,
@@ -109,12 +120,16 @@ def main():
                                             act_dtype=jnp.bfloat16,
                                             fused_decoder=True),
     }
+    applies["fused_bf16_critic"] = applies["fused_bf16"]
     for name, n_critic, adv_w, mm, fwd in grid:
         loss = LossConfig(n_critic=n_critic, adv_weight=adv_w)
         tx_g, tx_d = make_adam(2e-4), make_adam(2e-4)
         state = TrainState.create(jax.device_put(params_g),
                                   jax.device_put(params_d), tx_g, tx_d)
-        step = make_train_step(applies[fwd], critic.apply, tx_g, tx_d, dg,
+        capply = (make_full_critic_apply(levels=critic.levels,
+                                         act_dtype=jnp.bfloat16)
+                  if fwd.endswith("_critic") else critic.apply)
+        step = make_train_step(applies[fwd], capply, tx_g, tx_d, dg,
                                loss, batch_size=args.batch,
                                scan_steps=args.scan_steps,
                                matmul_precision=mm)
@@ -143,6 +158,10 @@ def main():
         }
         print(f"{name:18s} {fps:10.1f} frames/s "
               f"({1e3 * args.batch / fps:7.2f} ms/step)")
+        if args.profile_dir and (name, n_critic, adv_w, mm, fwd) == grid[-1]:
+            jax.profiler.start_trace(args.profile_dir)
+            state, _ = timed(state, 5000)
+            jax.profiler.stop_trace()
         del state, step
 
     Path(args.out).parent.mkdir(parents=True, exist_ok=True)

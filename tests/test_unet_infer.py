@@ -120,3 +120,27 @@ def test_fused_decoder_trains_a_step(small_unet):
     after = np.concatenate([np.ravel(l) for l in
                             jax.tree_util.tree_leaves(new_state.params_g)])
     assert not np.array_equal(before, after)
+
+
+def test_full_critic_apply_parity(small_unet):
+    """make_full_critic_apply == FullDiscriminator.apply at f32 (exact up
+    to pool-order), close at bf16 storage."""
+    from ofdmgan_tpu.models.full_unet import FullDiscriminator
+    from ofdmgan_tpu.models.unet_infer import make_full_critic_apply
+
+    model, params, x = small_unet
+    critic = FullDiscriminator(frame_length=64, levels=3, base_channels=8)
+    key = jax.random.PRNGKey(11)
+    pd = critic.init(key, x[:1], x[:1])
+    cond = jax.random.normal(jax.random.fold_in(key, 2), x.shape, jnp.float32)
+    ref = np.asarray(critic.apply(pd, x, cond))
+
+    f32 = make_full_critic_apply(levels=3, act_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(f32(pd, x, cond)), ref,
+                               rtol=1e-6, atol=1e-6)
+
+    b16 = make_full_critic_apply(levels=3, act_dtype=jnp.bfloat16)
+    out = np.asarray(b16(pd, x, cond))
+    # critic scores are O(1-10); bf16 operand rounding through 3 conv
+    # levels + f32 pool stays within ~1%
+    np.testing.assert_allclose(out, ref, rtol=0.05, atol=0.2)
