@@ -15,6 +15,13 @@ SPE=${SPE:-51200}
 BATCH=${BATCH:-512}
 FL=${FL:-1024}
 EXTRA=${EXTRA:-}
+# MM note: the fused decoder at FULL float32 (6-pass) matmul precision hits
+# a pathological XLA compile on the axon compiler (>18 min, killed — the
+# interleave stack/reshape multiplies the f32 conv rewriter's work); the
+# twin therefore runs BOTH legs at tensorfloat32 — a same-precision pair
+# is the valid std-vs-fused comparison, and tf32 is the measured-stable
+# full-scale training precision anyway (results/full_train_speed_r5.json).
+MM=${MM:-tensorfloat32}
 mkdir -p "$outdir"
 
 run_leg() {
@@ -24,6 +31,7 @@ run_leg() {
   timeout 7200 python train.py \
     --model full --synthetic --nonlinear \
     --adv_weight 0 --n_critic 0 --lr 2e-4 --lr_step 20 --lr_gamma 0.5 \
+    --matmul_precision "$MM" \
     --batch_size "$BATCH" --samples_per_epoch "$SPE" --epochs "$EPOCHS" \
     --seed 0 --frame_length "$FL" $EXTRA "$@" \
     --checkpoint_dir "$ck" --skip_export \
@@ -36,7 +44,7 @@ run_leg() {
   sleep 10
 }
 
-run_leg std
-run_leg fused --fused_decoder
+run_leg std_$MM
+run_leg fused_$MM --fused_decoder
 echo "fused-decoder twin done -> $outdir" >&2
 grep -H "l1\|identity" "$outdir"/eval_*.json 2>/dev/null | head

@@ -207,7 +207,11 @@ def main():
                              "differentiable — 8 instead of 12 Cin*Cout*L "
                              "decoder MACs and no materialized NN-upsample "
                              "broadcast. --model full only; composes with "
-                             "--act_dtype bfloat16")
+                             "--act_dtype bfloat16. NOTE: pair with "
+                             "--matmul_precision tensorfloat32/bfloat16 — "
+                             "at full float32 the interleaved k=2 convs hit "
+                             "a pathological remote-XLA compile (>18 min, "
+                             "scripts/r5_fused_decoder_twin.sh header)")
     parser.add_argument("--conv_expand", default="dus",
                         choices=["dus", "onehot"],
                         help="Toeplitz expansion impl (ops/dense_conv.py): "
