@@ -61,16 +61,18 @@ sleep 15
 echo "=== archive champion params" >&2
 timeout 1800 python scripts/extract_champion.py \
   --checkpoint "$ckdir/final_model" \
-  --out "$outdir" --meta '{"recipe": "polish_advfloor0.25_from_r4_gan"}' \
+  --out "$outdir" --meta "{\"recipe\": \"polish_adv${ADV}_rec${REC}_lr${LR}_from_${INIT}\"}" \
   > "$outdir/extract.log" 2>&1 || true
 sleep 15
 
-echo "=== distributional suite: v2 polish vs v1 GAN champion" >&2
+echo "=== distributional suite: this leg vs the v1 GAN champion" >&2
+# label + json derive from OUTDIR so ladder legs never clobber each other
+leg=$(basename "$outdir" | sed 's/full_fading_gan_//')
 timeout 3600 python scripts/distributional_report.py \
   --model full --frame_length "$FL" --nonlinear --channel multipath $EXTRA \
-  --checkpoint gan_fading_v2="$outdir/champion_params_g.npz" \
+  --checkpoint gan_fading_$leg="$outdir/champion_params_g.npz" \
                gan_fading_v1=results/full_fading_gan/champion_params_g.npz \
-  --json results/distributional_full_fading_gan_v2.json \
+  --json "results/distributional_full_fading_gan_$leg.json" \
   > "$outdir/distributional.log" 2>&1
 sleep 15
 
