@@ -139,3 +139,29 @@ class TestCommittedArtifacts:
         y_ref = np.asarray(jax.jit(apply)(x))
         assert y_art.shape == (2, 1024, 2)
         np.testing.assert_allclose(y_art, y_ref, rtol=0, atol=2e-2)
+
+    @pytest.mark.parametrize("stem", ["full_fading_gan", "full_fading_gan_v2",
+                                      "full_fading_gan_v3",
+                                      "full_fading_gan_v4"])
+    def test_committed_full_fading_gan_parity(self, stem):
+        """Round 5: the shipped fading-GAN frontier-ladder artifacts
+        (results/serving/full_fading_gan*.stablehlo) — same contract as the
+        AWGN full artifact: byte integrity + numerical parity with the
+        live bf16 fused-decoder serving forward."""
+        from ofdmgan_tpu.models.unet_infer import make_unet_infer_apply
+        from ofdmgan_tpu.utils.params_io import load_params_tree
+
+        back, meta = self._load(stem)
+        params = load_params_tree(str(REPO / meta["checkpoint"]))
+        baked = jax.tree.map(lambda a: jnp.asarray(a, jnp.bfloat16), params)
+        inner = make_unet_infer_apply(act_dtype=jnp.bfloat16)
+
+        def apply(x):
+            with jax.default_matmul_precision("bfloat16"):
+                return inner(baked, x.astype(jnp.bfloat16)).astype(jnp.float32)
+
+        x = jax.random.normal(jax.random.PRNGKey(9), (2, 1024, 2), jnp.float32)
+        y_art = np.asarray(back.call(x))
+        y_ref = np.asarray(jax.jit(apply)(x))
+        assert y_art.shape == (2, 1024, 2)
+        np.testing.assert_allclose(y_art, y_ref, rtol=0, atol=2e-2)
