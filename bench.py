@@ -244,16 +244,13 @@ def main():
                          "them. Trajectory equivalent at the f32-ulp class "
                          "(XLA FMA/fusion low bits only — "
                          "tests/test_flat_params.py). Requires --premap.")
-    ap.add_argument("--datagen_dtype", default="float32",
-                    choices=["float32", "bfloat16"],
-                    help="storage dtype of the datagen outputs (noisy/clean) "
-                         "at the datagen->model fusion boundary. The r4 op "
-                         "table shows f32 [B,32] batch tensors as the "
-                         "largest copy-done movers; bf16 halves those "
-                         "bytes. PERF PROBE — rec/GP losses then reduce "
-                         "over bf16-rounded inputs (same-lattice argument "
-                         "as bf16 activation storage; needs a 500-epoch "
-                         "twin before becoming a default)")
+    # NOTE (r5): a --datagen_dtype bfloat16 probe existed briefly and was
+    # REMOVED as a measured no-op: build_train_step already casts
+    # noisy/clean to act_dtype at step entry (training/wgan_gp.py one_step),
+    # so at the bf16 defaults the flag duplicated an existing cast and the
+    # compiled program was identical (r5_perf_queue.jsonl dg_bf16 rows =
+    # controls). The f32 [B,32] copy-done movers in the op table are
+    # datagen-INTERNAL intermediates whose f32-ness is the parity contract.
     ap.add_argument("--act_dtype", default="bfloat16",
                     choices=["none", "bfloat16", "float8_e4m3fn",
                              "float8_e5m2"],
@@ -317,6 +314,11 @@ def main():
     if args.packed and args.remat:
         ap.error("--remat applies to the standard step builder; the packed "
                  "step has no remat wiring")
+    if args.flat_params and (args.packed or not args.flat or not args.premap):
+        # guard HERE (after the pallas downgrades) so the flag can never be
+        # silently dropped: every other incompatible combo errors too
+        ap.error("--flat_params requires the flat premapped path "
+                 "(--flat --premap; not --packed/--pallas_*)")
 
     compiler_options = None
     if args.compiler_opts:
@@ -407,8 +409,6 @@ def main():
                         act_dtype=args.act_dtype, mm="tf32x3")
 
             if args.flat_params:
-                if not args.premap:
-                    ap.error("--flat_params requires --premap")
                 from jax.flatten_util import ravel_pytree
 
                 pg_vec, unravel_g = ravel_pytree(state.params_g)
@@ -422,12 +422,7 @@ def main():
                 # matmul-form datagen born flat [B, 32]: no FFT lowering, no
                 # complex<->I/Q relayouts, no [B, L, C] tensor anywhere in
                 # the step (parity: tests/test_flat_model.py)
-                b = synthetic_batch_flat(k, n, dg)
-                if args.datagen_dtype == "bfloat16":
-                    b = dict(b,
-                             noisy=b["noisy"].astype(jnp.bfloat16),
-                             clean=b["clean"].astype(jnp.bfloat16))
-                return b
+                return synthetic_batch_flat(k, n, dg)
         elif args.mm != "ambient":
             ap.error("--mm requires --flat")
         elif args.premap:

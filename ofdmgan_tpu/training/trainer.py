@@ -269,6 +269,10 @@ class Trainer:
             if flat_step:
                 raise ValueError("fused_decoder and flat_step are different "
                                  "model families")
+            if act_dtype not in (None, "bfloat16"):
+                raise ValueError("fused_decoder supports f32 or bfloat16 "
+                                 "activation storage (fp8 operands have no "
+                                 "conv path)")
             train_gen_apply = make_unet_infer_apply(
                 levels=self.generator.levels,
                 leaky_slope=self.generator.leaky_slope,
@@ -338,6 +342,11 @@ class Trainer:
                                (use_pallas_datagen, "use_pallas_datagen"),
                                (critic_unroll != 1, "critic_unroll"),
                                (mm != "ambient", "mm"),
+                               # pp builds its stage functions from the flax
+                               # module's encode/decode split, so the fused
+                               # train_gen_apply cannot be consumed — reject
+                               # rather than silently train the std forward
+                               (fused_decoder, "fused_decoder"),
                                (user_batch_fn is not None, "image datasets")):
                 if flag:
                     raise ValueError(f"strategy='pp' does not support {name}")

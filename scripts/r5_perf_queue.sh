@@ -6,10 +6,9 @@
 # (/tmp/hlo_r5_headline.txt.gz):
 #   - ss3072: measured 5.094e7 in r4 queue 3 and left on the table.
 #   - ou3: re-probe at the current live-state size (r4 only tried 2/4/6/8).
-#   - datagen_dtype bf16: the f32 [65536,32] batch tensors are the largest
-#     copy-done movers in the op table; bf16 halves the bytes crossing the
-#     datagen->model fusion boundary. Perf probe only — needs a 500-epoch
-#     quality twin before it can be a default.
+#   - datagen_dtype bf16: intended to halve the datagen->model boundary
+#     bytes; turned out to be a NO-OP (the step already casts the batch to
+#     act_dtype) — rows kept in the jsonl as same-program controls.
 set -u
 cd "$(dirname "$0")/.."
 out=results/r5_perf_queue.jsonl
@@ -27,12 +26,13 @@ run() {
   sleep 15
 }
 
-run base_ss2048      # today's control for the r4 defaults
+run base_ss2048      --scan_steps 2048  # the r4 default, as the control (bench default is ss3072 since r5)
 run ss3072           --scan_steps 3072
 run ss3072_ou3       --scan_steps 3072 --outer_unroll 3
 run ou3              --outer_unroll 3
-run dg_bf16          --datagen_dtype bfloat16
-run dg_bf16_ss3072   --datagen_dtype bfloat16 --scan_steps 3072
+# dg_bf16 rows (recorded in the jsonl) used a --datagen_dtype flag that was
+# REMOVED post-hoc as a measured no-op: build_train_step already casts the
+# batch to act_dtype at step entry, so those rows are same-program controls.
 
 echo "queue done -> $out" >&2
 cat "$out"

@@ -35,6 +35,12 @@ jax.config.update("jax_threefry_partitionable", True)
 # list here — one place, node-id granularity — makes it trivial to
 # regenerate from a fresh --durations run.
 _SLOW_TESTS = frozenset({
+    # round-5 additions (multi-minute subprocess / training tests)
+    "test_cli.py::TestFullModelCLI::test_train_full_model_fused_decoder",
+    "test_prng_rbg.py::TestRbgCLI::test_train_prng_rbg_smoke",
+    "test_flat_params.py::test_flat_params_trajectory_ulp_equivalent",
+    "test_unet_infer.py::test_fused_decoder_trains_a_step",
+    "test_unet_infer.py::test_fused_decoder_training_gradients_equivalent",
     "test_models.py::TestGenerator::test_frame_length_parametric",
     "test_cli.py::TestCLIs::test_train_and_resume_and_export",
     "test_distributed.py::test_two_process_gspmd_tensor_parallel",
